@@ -1,0 +1,207 @@
+"""JAX-native modified Bessel function of the second kind, K_nu.
+
+The reference's general-smoothness Matern kernel needs K_nu for arbitrary real
+order (numpy backend: ``scipy.special.kv``, ``_src/gp/kernels/numpy.py:34-43``;
+jax backend: ``tfp.substrates.jax.math.bessel_kve``,
+``_src/gp/kernels/jax.py:41-58``).  Neither scipy-callback nor
+tensorflow_probability is acceptable on TPU, so this module implements
+``kve(v, x) = exp(x) * K_v(x)`` from scratch with the classical two-regime
+algorithm (Temme 1975 series for x <= 2; Steed's CF2 continued fraction for
+x > 2; forward recurrence in the order), using *fixed* iteration counts so the
+whole thing is jit/vmap/scan-safe with static shapes.
+
+Gradients: ``kve`` carries a custom JVP.
+- d/dx kve(v,x) = kve(v,x) - (kve(v-1,x) + kve(v+1,x)) / 2   (exact identity)
+- d/dv via central finite difference (no closed form exists; the reference's
+  backends also lack an exact order-derivative — tfp's kve differentiates in x
+  only, and the reference optimizes smoothness derivative-free).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.special import gammaln
+
+_EULER_GAMMA = 0.5772156649015328606
+# Taylor coefficients of f(u) = 1/Gamma(1+u) = 1 + a1 u + a2 u^2 + a3 u^3 + ...
+_A3 = (
+    _EULER_GAMMA**3 / 6.0
+    - _EULER_GAMMA * jnp.pi**2 / 12.0
+    + 0.4006856343865314  # zeta(3)/3
+)
+
+_TEMME_ITERS = 24
+_CF2_ITERS = 80
+_RECUR_MAX = 64  # supports orders up to ~64; GP smoothness is O(1)
+
+
+def _reciprocal_gamma_sym(mu):
+    """Return (gam1, gam2) where gam1=(1/G(1-mu)-1/G(1+mu))/(2mu) and
+    gam2=(1/G(1-mu)+1/G(1+mu))/2, stable at mu -> 0.  |mu| <= 0.5."""
+    small = jnp.abs(mu) < 1e-6
+    mu_safe = jnp.where(small, 0.25, mu)
+    rg_p = jnp.exp(-gammaln(1.0 + mu_safe))
+    rg_m = jnp.exp(-gammaln(1.0 - mu_safe))
+    gam1_direct = (rg_m - rg_p) / (2.0 * mu_safe)
+    gam2_direct = (rg_m + rg_p) / 2.0
+    gam1_taylor = -(_EULER_GAMMA + _A3 * mu * mu)
+    a2 = (_EULER_GAMMA**2 - jnp.pi**2 / 6.0) / 2.0
+    gam2_taylor = 1.0 + a2 * mu * mu
+    return (
+        jnp.where(small, gam1_taylor, gam1_direct),
+        jnp.where(small, gam2_taylor, gam2_direct),
+    )
+
+
+def _kve_temme(mu, x):
+    """exp(x)*(K_mu(x), K_{mu+1}(x)) by Temme's series; valid x <= 2."""
+    dtype = x.dtype
+    x = jnp.maximum(x, jnp.asarray(1e-30, dtype))
+    x2 = 0.5 * x
+    pimu = jnp.pi * mu
+    small_pimu = jnp.abs(pimu) < 1e-6
+    fact = jnp.where(
+        small_pimu, 1.0, pimu / jnp.sin(jnp.where(small_pimu, 1.0, pimu))
+    )
+    d = -jnp.log(x2)
+    e = mu * d
+    small_e = jnp.abs(e) < 1e-6
+    fact2 = jnp.where(
+        small_e, 1.0, jnp.sinh(e) / jnp.where(small_e, 1.0, e)
+    )
+    gam1, gam2 = _reciprocal_gamma_sym(mu)
+    gampl = gam2 - mu * gam1  # 1/Gamma(1+mu)
+    gammi = gam2 + mu * gam1  # 1/Gamma(1-mu)
+    ff = fact * (gam1 * jnp.cosh(e) + gam2 * fact2 * d)
+    total = ff
+    ee = jnp.exp(e)
+    p = 0.5 * ee / gampl
+    q = 0.5 / (ee * gammi)
+    c = jnp.ones_like(x)
+    d2 = x2 * x2
+    total1 = p
+    mu2 = mu * mu
+
+    def body(i, carry):
+        ff, c, p, q, total, total1 = carry
+        fi = i.astype(dtype)
+        ff = (fi * ff + p + q) / (fi * fi - mu2)
+        c = c * d2 / fi
+        p = p / (fi - mu)
+        q = q / (fi + mu)
+        total = total + c * ff
+        total1 = total1 + c * (p - fi * ff)
+        return ff, c, p, q, total, total1
+
+    ff, c, p, q, total, total1 = lax.fori_loop(
+        1, _TEMME_ITERS + 1, body, (ff, c, p, q, total, total1)
+    )
+    scale = jnp.exp(x)
+    return total * scale, total1 * (2.0 / x) * scale
+
+
+def _kve_cf2(mu, x):
+    """exp(x)*(K_mu(x), K_{mu+1}(x)) by Steed's CF2; valid x > 2.
+
+    The textbook recurrence tracks auxiliary series ``c`` and ``q1/q2`` that
+    individually grow like i! (overflowing f32 within ~35 iterations); here we
+    track the bounded products ``u = c*q1`` and ``w = c*q2`` instead, which
+    stay O(1) because their updates are the convergent series increments.
+    """
+    dtype = x.dtype
+    b = 2.0 * (1.0 + x)
+    d = 1.0 / b
+    h = d
+    delh = d
+    a1 = 0.25 - mu * mu
+    q = a1 * jnp.ones_like(x)
+    a = -a1
+    s = 1.0 + q * delh
+    u = jnp.zeros_like(x)  # c * q1
+    w = a1 * jnp.ones_like(x)  # c * q2
+
+    def body(i, carry):
+        a, b, d, h, delh, q, u, w, s = carry
+        fi = i.astype(dtype)
+        a = a - 2.0 * (fi - 1.0)
+        contrib = -(u - b * w) / fi  # = c_new * qnew
+        q = q + contrib
+        u = -a * w / fi  # = c_new * q1_new
+        w = contrib  # = c_new * q2_new
+        b = b + 2.0
+        d = 1.0 / (b + a * d)
+        delh = (b * d - 1.0) * delh
+        h = h + delh
+        s = s + q * delh
+        return a, b, d, h, delh, q, u, w, s
+
+    init = (a * jnp.ones_like(x), b, d, h, delh, q, u, w, s)
+    _, _, _, h, _, _, _, _, s = lax.fori_loop(2, _CF2_ITERS + 1, body, init)
+    h = a1 * h
+    kmu = jnp.sqrt(jnp.pi / (2.0 * x)) / s  # already exp(x)-scaled
+    kmu1 = kmu * (mu + x + 0.5 - h) / x
+    return kmu, kmu1
+
+
+def _kve_raw(v, x):
+    """exp(x) * K_v(x) for real order v >= 0, elementwise over x."""
+    x = jnp.asarray(x)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.float32)
+    dtype = x.dtype
+    v = jnp.asarray(v, dtype)
+    v = jnp.abs(v)  # K_{-v} = K_v
+    n = jnp.floor(v + 0.5)
+    mu = v - n  # in [-0.5, 0.5)
+
+    x_small = jnp.minimum(x, 2.0)
+    x_big = jnp.maximum(x, 2.0)
+    k_s, k1_s = _kve_temme(mu, x_small)
+    k_b, k1_b = _kve_cf2(mu, x_big)
+    use_small = x <= 2.0
+    kmu = jnp.where(use_small, k_s, k_b)
+    kmu1 = jnp.where(use_small, k1_s, k1_b)
+
+    x_safe = jnp.maximum(x, jnp.asarray(1e-30, dtype))
+
+    def body(i, carry):
+        kprev, kcur = carry
+        fi = i.astype(dtype)
+        knext = kprev + (2.0 * (mu + fi) / x_safe) * kcur
+        climb = fi <= n - 1.0
+        kprev = jnp.where(climb, kcur, kprev)
+        kcur = jnp.where(climb, knext, kcur)
+        return kprev, kcur
+
+    kprev, kcur = lax.fori_loop(1, _RECUR_MAX, body, (kmu, kmu1))
+    return jnp.where(n == 0.0, kprev, kcur)
+
+
+@jax.custom_jvp
+def kve(v, x):
+    """Exponentially scaled modified Bessel of the second kind: e^x K_v(x)."""
+    return _kve_raw(v, x)
+
+
+@kve.defjvp
+def _kve_jvp(primals, tangents):
+    v, x = primals
+    v_dot, x_dot = tangents
+    x = jnp.asarray(x)
+    v = jnp.asarray(v, x.dtype)
+    primal = kve(v, x)
+    # exact x-derivative via the three-term identity
+    dx = primal - 0.5 * (_kve_raw(v - 1.0, x) + _kve_raw(v + 1.0, x))
+    h = jnp.asarray(1e-4, x.dtype)
+    dv = (_kve_raw(v + h, x) - _kve_raw(v - h, x)) / (2.0 * h)
+    tangent = dx * x_dot + dv * v_dot
+    return primal, tangent
+
+
+def kv(v, x):
+    """Modified Bessel of the second kind K_v(x)."""
+    return kve(v, x) * jnp.exp(-x)

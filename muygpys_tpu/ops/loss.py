@@ -1,0 +1,112 @@
+"""Loss functions for leave-one-out cross-validation objectives.
+
+Parity surface of ``_src/optimize/loss/{numpy,jax}.py``: cross-entropy
+(numpy.py:12-19), mse (:22-31), lool (:34-60), unscaled lool, pseudo-Huber
+(:64-71), looph (:74-115).  All pure JAX, jit/grad-safe, and written as
+sums-of-local-terms so that under a sharded batch axis the reduction lowers to
+a single psum (replacing the reference MPI backend's ``allreduce(SUM)``,
+``_src/optimize/loss/mpi.py:21-103``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import nn as jnn
+
+
+def cross_entropy_fn(
+    predictions: jnp.ndarray, targets: jnp.ndarray, eps: float = 1e-15
+) -> jnp.ndarray:
+    """Unnormalized log loss of softmaxed predictions vs one-hot targets.
+
+    Matches sklearn ``log_loss(..., normalize=False)`` on softmax outputs as
+    used by the reference (``_src/optimize/loss/numpy.py:12-19``), with
+    predictions clipped to ``[eps, 1-eps]`` and renormalized, exactly as
+    sklearn does.
+    """
+    one_hot = jnp.where(targets > 0.0, 1.0, 0.0)
+    probs = jnn.softmax(predictions, axis=1)
+    probs = jnp.clip(probs, eps, 1.0 - eps)
+    probs = probs / jnp.sum(probs, axis=1, keepdims=True)
+    return -jnp.sum(one_hot * jnp.log(probs))
+
+
+def mse_fn_unnormalized(
+    predictions: jnp.ndarray, targets: jnp.ndarray
+) -> jnp.ndarray:
+    return jnp.sum((predictions - targets) ** 2)
+
+
+def mse_fn(predictions: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    return mse_fn_unnormalized(predictions, targets) / predictions.size
+
+
+def lool_fn_unscaled(
+    predictions: jnp.ndarray,
+    targets: jnp.ndarray,
+    variances: jnp.ndarray,
+) -> jnp.ndarray:
+    """Leave-one-out likelihood (Eq. 10 of arXiv:2209.11280)."""
+    if variances.ndim == 1 or variances.ndim == predictions.ndim:
+        return jnp.sum(
+            (predictions - targets) ** 2 / variances + jnp.log(variances)
+        )
+    # full multivariate covariance blocks: (b, r, r)
+    residual = predictions - targets
+    if residual.ndim == 1:
+        residual = residual[:, None]
+    sol = jnp.linalg.solve(variances, residual[..., None])
+    quad = jnp.squeeze(residual[..., None, :] @ sol, axis=(-2, -1))
+    _, logdet = jnp.linalg.slogdet(variances)
+    return jnp.sum(quad + logdet)
+
+
+def lool_fn(
+    predictions: jnp.ndarray,
+    targets: jnp.ndarray,
+    variances: jnp.ndarray,
+    scale,
+) -> jnp.ndarray:
+    return lool_fn_unscaled(predictions, targets, scale * variances)
+
+
+def pseudo_huber_fn(
+    predictions: jnp.ndarray,
+    targets: jnp.ndarray,
+    boundary_scale: float = 1.5,
+) -> jnp.ndarray:
+    bs2 = boundary_scale**2
+    return bs2 * jnp.sum(
+        jnp.sqrt(1.0 + ((targets - predictions) / boundary_scale) ** 2) - 1.0
+    )
+
+
+def looph_fn_unscaled(
+    predictions: jnp.ndarray,
+    targets: jnp.ndarray,
+    variances: jnp.ndarray,
+    boundary_scale: float = 3.0,
+) -> jnp.ndarray:
+    """Leave-one-out pseudo-Huber (Eq. 8 of arXiv:2409.11577)."""
+    bs2 = boundary_scale**2
+    return jnp.sum(
+        2.0
+        * bs2
+        * (
+            jnp.sqrt(1.0 + (targets - predictions) ** 2 / (bs2 * variances))
+            - 1.0
+        )
+        + jnp.log(variances)
+    )
+
+
+def looph_fn(
+    predictions: jnp.ndarray,
+    targets: jnp.ndarray,
+    variances: jnp.ndarray,
+    scale,
+    boundary_scale: float = 3.0,
+) -> jnp.ndarray:
+    return looph_fn_unscaled(
+        predictions, targets, scale * variances, boundary_scale=boundary_scale
+    )

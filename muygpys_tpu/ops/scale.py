@@ -1,0 +1,60 @@
+"""Analytic sigma^2 (variance scale) estimation.
+
+Parity surface of ``_src/optimize/scale/{numpy,jax}.py``:
+``_analytic_scale_optim`` (jax.py:22-56) with univariate/flattened-multivariate
+handling, plus the unnormalized variant used by downsampling.
+
+sigma^2 = (1/(b*n)) sum_i Y_i^T (Kin_i + eps)^{-1} Y_i, computed via one
+batched Cholesky: ``y^T K^{-1} y = |L^{-1} y|^2``.
+
+For sharded batches pass ``batch_count_global`` so normalization uses the
+global count (the reference MPI backend allreduces both the numerator and the
+batch count, ``_src/optimize/scale/mpi.py:20-38``); the sum itself lowers to a
+psum under a sharded batch axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.linalg import solve_triangular
+
+
+def _flatten(Kin: jnp.ndarray, nn_targets: jnp.ndarray):
+    if Kin.ndim == 3:
+        y = nn_targets if nn_targets.ndim == 3 else nn_targets[:, :, None]
+        return Kin, y, Kin.shape[1]
+    elif Kin.ndim == 5:
+        b, in_count, nn_count = Kin.shape[:3]
+        all_count = in_count * nn_count
+        return (
+            Kin.reshape(b, all_count, all_count),
+            nn_targets.reshape(b, all_count, 1),
+            nn_count,
+        )
+    raise ValueError(f"unsupported Kin shape {Kin.shape} for scale optim")
+
+
+def analytic_scale_optim_unnormalized(
+    Kin: jnp.ndarray, nn_targets: jnp.ndarray
+) -> jnp.ndarray:
+    if nn_targets.ndim == 2:
+        nn_targets = nn_targets[:, :, None]
+    L = lax.linalg.cholesky(Kin)
+    W = solve_triangular(L, nn_targets, lower=True)
+    return jnp.sum(W * W)
+
+
+def analytic_scale_optim(
+    Kin: jnp.ndarray,
+    nn_targets: jnp.ndarray,
+    batch_count_global: Optional[float] = None,
+) -> jnp.ndarray:
+    Kin_flat, y_flat, nn_count = _flatten(Kin, nn_targets)
+    if batch_count_global is None:
+        batch_count_global = Kin.shape[0]
+    return analytic_scale_optim_unnormalized(Kin_flat, y_flat) / (
+        batch_count_global * nn_count
+    )

@@ -1,0 +1,52 @@
+"""Test bootstrap.
+
+The tests run on CPU with 8 virtual XLA devices and 64-bit floats, mirroring
+the reference's CI strategy (numpy-semantics conformance on CPU; see
+reference .github/workflows/develop-test.yml) and providing a virtual mesh for
+multi-device sharding tests (the reference tests MPI with 4 local processes,
+tests/backend/mpi_correctness.py — same idea).
+
+This container pins JAX to the axon TPU plugin via sitecustomize *before* any
+conftest runs, so the only reliable way to force the CPU platform is to
+re-exec pytest once with a scrubbed environment.  The re-exec happens in
+``pytest_configure`` after suspending pytest's global fd capture, so the child
+process inherits the real stdout/stderr.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+def pytest_configure(config):
+    if os.environ.get("MUYGPYS_TEST_REEXEC") == "1":
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        try:
+            capman.suspend_global_capture(in_=True)
+        except Exception:
+            pass
+    env = dict(os.environ)
+    env["MUYGPYS_TEST_REEXEC"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
+    env.setdefault("MUYGPYS_FTYPE", "64")
+    args = list(config.invocation_params.args)
+    os.execve(
+        sys.executable, [sys.executable, "-m", "pytest"] + args, env
+    )
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
