@@ -1,0 +1,158 @@
+"""Nearest neighbor index.
+
+API parity: reference ``neighbors.py:32`` (``NN_Wrapper``: ``get_nns`` :129,
+``get_batch_nns`` :169 — drops the self neighbor; distances returned are
+*squared* l2, matching hnswlib's F2 convention which the reference's exact
+path emulates, ``neighbors.py:246-250``).
+
+TPU-native redesign: the default ``"exact"`` method is an **on-device
+brute-force top-k** — distance tiles computed via the Gram identity on the
+MXU, reduced with ``lax.top_k``, queries processed in fixed-size chunks under
+``lax.map`` so one compiled program serves any query count (padded).  This
+replaces the reference's host-side C++ (sklearn ball_tree / hnswlib) with
+device compute: for the n <= ~1e6 regime a TPU chip brute-forces faster than
+host index structures can be built, and results are exact.
+
+Host-side methods remain available: ``"sklearn"`` (exact, ball_tree) and
+``"hnsw"`` (approximate, if hnswlib is installed).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_QUERY_TILE = 512
+
+
+@partial(jax.jit, static_argnames=("nn_count", "query_tile"))
+def _brute_force_knn(
+    train: jnp.ndarray,
+    queries: jnp.ndarray,
+    nn_count: int,
+    query_tile: int = _QUERY_TILE,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k smallest squared-l2 distances, tiled over queries.
+
+    Returns ``(indices, sq_dists)`` of shape ``(query_count, nn_count)``.
+    The query axis is padded up to a tile multiple so the per-tile program is
+    compiled once; the train Gram norms are computed once and closed over.
+    """
+    query_count = queries.shape[0]
+    train_sq = jnp.sum(train * train, axis=-1)  # (n,)
+    tile_count = math.ceil(query_count / query_tile)
+    padded = tile_count * query_tile
+    q_pad = jnp.pad(queries, ((0, padded - query_count), (0, 0)))
+    q_tiles = q_pad.reshape(tile_count, query_tile, -1)
+
+    def one_tile(q):
+        # (t, n) distance tile via MXU matmul
+        d2 = (
+            jnp.sum(q * q, axis=-1)[:, None]
+            + train_sq[None, :]
+            - 2.0 * q @ train.T
+        )
+        neg_vals, idx = jax.lax.top_k(-d2, nn_count)
+        return idx, jnp.maximum(-neg_vals, 0.0)
+
+    idx, d2 = jax.lax.map(one_tile, q_tiles)
+    idx = idx.reshape(padded, nn_count)[:query_count]
+    d2 = d2.reshape(padded, nn_count)[:query_count]
+    return idx, d2
+
+
+class NN_Wrapper:
+    """KNN index over the training features.
+
+    Args:
+        train: ``(train_count, feature_count)`` training features.
+        nn_count: number of neighbors returned per query.
+        nn_method: ``"exact"`` (on-device brute force, default), ``"brute"``
+            (alias), ``"sklearn"`` (host exact), or ``"hnsw"`` (host
+            approximate; requires hnswlib).
+    """
+
+    def __init__(
+        self,
+        train,
+        nn_count: int,
+        nn_method: str = "exact",
+        **kwargs,
+    ):
+        train = np.asarray(train)
+        if train.ndim == 1:
+            train = train[:, None]
+        self.train = train
+        self.train_count, self.feature_count = train.shape
+        self.nn_count = nn_count
+        self.nn_method = nn_method.lower()
+        if self.nn_method in ("exact", "brute"):
+            self._train_dev = jnp.asarray(train)
+        elif self.nn_method == "sklearn":
+            from sklearn.neighbors import NearestNeighbors
+
+            exact_kwargs = {
+                k: kwargs[k]
+                for k in kwargs
+                if k in {"radius", "algorithm", "leaf_size", "metric", "p",
+                         "metric_params", "n_jobs"}
+            }
+            self.nbrs = NearestNeighbors(
+                n_neighbors=nn_count, **exact_kwargs
+            ).fit(train)
+        elif self.nn_method == "hnsw":
+            try:
+                import hnswlib
+            except ImportError as e:
+                raise ModuleNotFoundError(
+                    "hnswlib is not installed; use nn_method='exact'"
+                ) from e
+            self.nbrs = hnswlib.Index(space="l2", dim=self.feature_count)
+            index_kwargs = {
+                k: kwargs[k]
+                for k in kwargs
+                if k in {"max_elements", "ef_construction", "M",
+                         "random_seed"}
+            }
+            index_kwargs.setdefault("max_elements", self.train_count)
+            self.nbrs.init_index(**index_kwargs)
+            self.nbrs.add_items(train)
+        else:
+            raise NotImplementedError(
+                f"selected nn_method {nn_method} is not implemented"
+            )
+
+    def get_nns(self, test) -> Tuple[np.ndarray, np.ndarray]:
+        """Neighbors of out-of-sample queries: ``(indices, sq_dists)``."""
+        return self._get_nns(test, self.nn_count)
+
+    def get_batch_nns(
+        self, batch_indices
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Neighbors of training points, self-neighbor dropped."""
+        batch_indices = np.asarray(batch_indices)
+        nn_indices, nn_dists = self._get_nns(
+            self.train[batch_indices], self.nn_count + 1
+        )
+        return nn_indices[:, 1:], nn_dists[:, 1:]
+
+    def _get_nns(self, test, nn_count: int):
+        test = np.asarray(test)
+        if test.ndim == 1:
+            test = test[:, None]
+        if self.nn_method in ("exact", "brute"):
+            idx, d2 = _brute_force_knn(
+                self._train_dev, jnp.asarray(test), nn_count
+            )
+            return np.asarray(idx), np.asarray(d2)
+        elif self.nn_method == "sklearn":
+            dists, idx = self.nbrs.kneighbors(test, n_neighbors=nn_count)
+            return idx, dists**2  # match hnsw's squared-l2 convention
+        else:
+            idx, d2 = self.nbrs.knn_query(test, k=nn_count)
+            return idx.astype(np.int64), d2

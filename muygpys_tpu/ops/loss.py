@@ -15,7 +15,8 @@ from jax import nn as jnn
 
 
 def cross_entropy_fn(
-    predictions: jnp.ndarray, targets: jnp.ndarray, eps: float = 1e-15
+    predictions: jnp.ndarray, targets: jnp.ndarray, eps: float = 1e-15,
+    **kwargs,
 ) -> jnp.ndarray:
     """Unnormalized log loss of softmaxed predictions vs one-hot targets.
 
@@ -32,12 +33,14 @@ def cross_entropy_fn(
 
 
 def mse_fn_unnormalized(
-    predictions: jnp.ndarray, targets: jnp.ndarray
+    predictions: jnp.ndarray, targets: jnp.ndarray, **kwargs
 ) -> jnp.ndarray:
     return jnp.sum((predictions - targets) ** 2)
 
 
-def mse_fn(predictions: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+def mse_fn(
+    predictions: jnp.ndarray, targets: jnp.ndarray, **kwargs
+) -> jnp.ndarray:
     return mse_fn_unnormalized(predictions, targets) / predictions.size
 
 
@@ -45,9 +48,13 @@ def lool_fn_unscaled(
     predictions: jnp.ndarray,
     targets: jnp.ndarray,
     variances: jnp.ndarray,
+    **kwargs,
 ) -> jnp.ndarray:
     """Leave-one-out likelihood (Eq. 10 of arXiv:2209.11280)."""
     if variances.ndim == 1 or variances.ndim == predictions.ndim:
+        if variances.ndim == 1 and predictions.ndim == 2:
+            # guard against (b, r) / (b,) silently broadcasting to (b, b)
+            variances = variances[:, None]
         return jnp.sum(
             (predictions - targets) ** 2 / variances + jnp.log(variances)
         )
@@ -66,6 +73,7 @@ def lool_fn(
     targets: jnp.ndarray,
     variances: jnp.ndarray,
     scale,
+    **kwargs,
 ) -> jnp.ndarray:
     return lool_fn_unscaled(predictions, targets, scale * variances)
 
@@ -74,6 +82,7 @@ def pseudo_huber_fn(
     predictions: jnp.ndarray,
     targets: jnp.ndarray,
     boundary_scale: float = 1.5,
+    **kwargs,
 ) -> jnp.ndarray:
     bs2 = boundary_scale**2
     return bs2 * jnp.sum(
@@ -86,8 +95,11 @@ def looph_fn_unscaled(
     targets: jnp.ndarray,
     variances: jnp.ndarray,
     boundary_scale: float = 3.0,
+    **kwargs,
 ) -> jnp.ndarray:
     """Leave-one-out pseudo-Huber (Eq. 8 of arXiv:2409.11577)."""
+    if variances.ndim == 1 and predictions.ndim == 2:
+        variances = variances[:, None]
     bs2 = boundary_scale**2
     return jnp.sum(
         2.0
@@ -106,6 +118,7 @@ def looph_fn(
     variances: jnp.ndarray,
     scale,
     boundary_scale: float = 3.0,
+    **kwargs,
 ) -> jnp.ndarray:
     return looph_fn_unscaled(
         predictions, targets, scale * variances, boundary_scale=boundary_scale

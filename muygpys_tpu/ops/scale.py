@@ -38,7 +38,7 @@ def _flatten(Kin: jnp.ndarray, nn_targets: jnp.ndarray):
 
 
 def analytic_scale_optim_unnormalized(
-    Kin: jnp.ndarray, nn_targets: jnp.ndarray
+    Kin: jnp.ndarray, nn_targets: jnp.ndarray, **kwargs
 ) -> jnp.ndarray:
     if nn_targets.ndim == 2:
         nn_targets = nn_targets[:, :, None]
@@ -51,6 +51,7 @@ def analytic_scale_optim(
     Kin: jnp.ndarray,
     nn_targets: jnp.ndarray,
     batch_count_global: Optional[float] = None,
+    **kwargs,
 ) -> jnp.ndarray:
     Kin_flat, y_flat, nn_count = _flatten(Kin, nn_targets)
     if batch_count_global is None:

@@ -70,6 +70,7 @@ def posterior_mean(
     Kin: jnp.ndarray,
     Kcross: jnp.ndarray,
     nn_targets: jnp.ndarray,
+    **kwargs,
 ) -> jnp.ndarray:
     """``mu = Kcross (Kin)^{-1} Y`` per neighborhood (generic layout).
 
@@ -97,6 +98,7 @@ def diagonal_variance(
     Kcross: jnp.ndarray,
     Kout: jnp.ndarray,
     batch_dim_count: int = 1,
+    **kwargs,
 ) -> jnp.ndarray:
     """``Kout - Kcross (Kin)^{-1} Kcross^T`` per neighborhood.
 
@@ -121,6 +123,7 @@ def posterior_mean_and_variance(
     Kcross: jnp.ndarray,
     Kout: jnp.ndarray,
     nn_targets: jnp.ndarray,
+    **kwargs,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused mean + variance sharing one Cholesky factorization."""
     batch_shape, in_shape, out_shape, extra_shape = _mean_shapes(
@@ -150,6 +153,7 @@ def posterior_mean_variance_scale(
     Kout: jnp.ndarray,
     nn_targets: jnp.ndarray,
     batch_count_global: Optional[float] = None,
+    **kwargs,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused mean + unscaled variance + analytic sigma^2, ONE Cholesky.
 
@@ -191,7 +195,7 @@ def posterior_mean_variance_scale(
 
 
 def fast_posterior_mean(
-    Kcross: jnp.ndarray, coeffs: jnp.ndarray
+    Kcross: jnp.ndarray, coeffs: jnp.ndarray, **kwargs
 ) -> jnp.ndarray:
     """Serve-time fast mean: ``Kcross . C`` (no solve).
 
@@ -204,14 +208,14 @@ def fast_posterior_mean(
 
 
 def mmuygps_fast_posterior_mean(
-    Kcross: jnp.ndarray, coeffs: jnp.ndarray
+    Kcross: jnp.ndarray, coeffs: jnp.ndarray, **kwargs
 ) -> jnp.ndarray:
     """Multivariate fast mean with per-response Kcross: (b,n,r),(b,n,r)->(b,r)."""
     return jnp.einsum("ijk,ijk->ik", Kcross, coeffs)
 
 
 def fast_posterior_mean_precompute(
-    Kin: jnp.ndarray, train_nn_targets_fast: jnp.ndarray
+    Kin: jnp.ndarray, train_nn_targets_fast: jnp.ndarray, **kwargs
 ) -> jnp.ndarray:
     """Offline coefficients ``C = (Kin)^{-1} Y`` over self-inclusive nbrhds.
 

@@ -1,0 +1,41 @@
+from muygpys_tpu.optimize.batch import (
+    full_filtered_batch,
+    get_balanced_batch,
+    sample_balanced_batch,
+    sample_batch,
+)
+from muygpys_tpu.optimize.chassis import (
+    Adam_optimize,
+    Bayes_optimize,
+    L_BFGS_B_optimize,
+    OptimizeFn,
+)
+from muygpys_tpu.optimize.loss import (
+    LossFn,
+    cross_entropy_fn,
+    lool_fn,
+    lool_fn_unscaled,
+    looph_fn,
+    mse_fn,
+    pseudo_huber_fn,
+)
+from muygpys_tpu.optimize.objective import make_loo_crossval_fn
+
+__all__ = [
+    "Adam_optimize",
+    "Bayes_optimize",
+    "L_BFGS_B_optimize",
+    "LossFn",
+    "OptimizeFn",
+    "cross_entropy_fn",
+    "full_filtered_batch",
+    "get_balanced_batch",
+    "lool_fn",
+    "lool_fn_unscaled",
+    "looph_fn",
+    "make_loo_crossval_fn",
+    "mse_fn",
+    "pseudo_huber_fn",
+    "sample_balanced_batch",
+    "sample_batch",
+]

@@ -1,0 +1,50 @@
+"""KNN index tests: on-device brute force vs sklearn exact oracle."""
+
+import numpy as np
+import pytest
+
+from muygpys_tpu.neighbors import NN_Wrapper
+
+
+@pytest.fixture(scope="module")
+def data(rng):
+    train = rng.normal(size=(2000, 10))
+    test = rng.normal(size=(311, 10))
+    return train, test
+
+
+def test_exact_matches_sklearn(data):
+    train, test = data
+    nn = 15
+    dev = NN_Wrapper(train, nn, nn_method="exact")
+    host = NN_Wrapper(train, nn, nn_method="sklearn")
+    di, dd = dev.get_nns(test)
+    hi, hd = host.get_nns(test)
+    np.testing.assert_allclose(dd, hd, rtol=1e-8, atol=1e-10)
+    # indices can differ on exact ties; compare via distances instead
+    assert (di == hi).mean() > 0.999
+
+
+def test_batch_nns_drop_self(data):
+    train, _ = data
+    dev = NN_Wrapper(train, 10, nn_method="exact")
+    batch = np.arange(100)
+    idx, d2 = dev.get_batch_nns(batch)
+    assert idx.shape == (100, 10)
+    assert not np.any(idx == batch[:, None])
+    assert np.all(d2 > 0)
+
+
+def test_1d_features(rng):
+    train = rng.normal(size=(100,))
+    dev = NN_Wrapper(train, 5, nn_method="exact")
+    idx, d2 = dev.get_nns(rng.normal(size=(7,)))
+    assert idx.shape == (7, 5)
+    # distances sorted ascending
+    assert np.all(np.diff(d2, axis=1) >= -1e-12)
+
+
+def test_unknown_method_raises(data):
+    train, _ = data
+    with pytest.raises(NotImplementedError):
+        NN_Wrapper(train, 5, nn_method="kdtree-foo")

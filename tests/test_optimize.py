@@ -1,0 +1,136 @@
+"""Hyperparameter recovery tests on synthetic exact-GP draws.
+
+The reference's core correctness criterion (SURVEY.md §4 item 2,
+_test/optimize.py:23-156): sample data from a dense GP with known
+hyperparameters, run the LOO optimization chassis, and assert the recovered
+values land within loss-specific squared-relative-error tolerances averaged
+over independent draws.  Reference tolerances (_test/optimize.py:37-49):
+scale 5e-1; smoothness mse/lool 2.5e-1, huber 5e-1; length_scale 9e-1 (all
+losses); averaged over its=10 draws.  We use 5 draws to keep CI fast.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from muygpys_tpu._test.sampler import UnivariateSampler
+from muygpys_tpu.gp import MuyGPS
+from muygpys_tpu.gp.deformation import Isotropy, l2
+from muygpys_tpu.gp.hyperparameter import AnalyticScale, Parameter
+from muygpys_tpu.gp.kernels import Matern
+from muygpys_tpu.gp.noise import HomoscedasticNoise
+from muygpys_tpu.neighbors import NN_Wrapper
+from muygpys_tpu.optimize import (
+    Adam_optimize,
+    Bayes_optimize,
+    L_BFGS_B_optimize,
+    lool_fn,
+    mse_fn,
+    sample_batch,
+)
+
+TRUE_LS = 0.05
+NU = 1.5
+ITS = 5
+LS_TOL = 9e-1  # reference _test/optimize.py:44-49
+NU_TOL = 2.5e-1  # reference _test/optimize.py:38-43 (mse/lool)
+SCALE_TOL = 5e-1  # reference _test/optimize.py:37
+
+
+def _sq_rel_err(true, est):
+    return ((true - est) / true) ** 2
+
+
+@pytest.fixture(scope="module")
+def draws(rng):
+    """ITS independent (tensors, model-factory) recovery problems."""
+    sampler = UnivariateSampler(
+        data_count=800, train_ratio=0.5, nu=NU, length_scale=TRUE_LS,
+        measurement_noise=1e-3, rng=rng,
+    )
+    xtr, _ = sampler.features()
+    nbrs = NN_Wrapper(xtr, 30, nn_method="exact")
+    out = []
+    for _ in range(ITS):
+        ytr, _ = sampler.sample()
+        model = MuyGPS(
+            kernel=Matern(
+                smoothness=Parameter(NU),
+                deformation=Isotropy(
+                    l2, length_scale=Parameter(0.3, (0.01, 1.0))
+                ),
+            ),
+            noise=HomoscedasticNoise(1e-3),
+            scale=AnalyticScale(),
+        )
+        batch_indices, batch_nn_indices = sample_batch(
+            nbrs, 300, xtr.shape[0], rng=rng
+        )
+        tensors = model.make_train_tensors(
+            batch_indices, batch_nn_indices, jnp.asarray(xtr),
+            jnp.asarray(ytr),
+        )
+        out.append((model, tensors))
+    return out
+
+
+@pytest.mark.parametrize(
+    "chassis,loss,kwargs",
+    [
+        (L_BFGS_B_optimize, lool_fn, {}),
+        (L_BFGS_B_optimize, mse_fn, {}),
+        (Bayes_optimize, lool_fn, {"init_points": 5, "n_iter": 15,
+                                   "random_state": 1}),
+        (Adam_optimize, lool_fn, {"n_iter": 150, "learning_rate": 0.05}),
+    ],
+    ids=["lbfgs-lool", "lbfgs-mse", "bayes-lool", "adam-lool"],
+)
+def test_length_scale_recovery(draws, chassis, loss, kwargs):
+    errs = []
+    for model, (cw, pw, bt, bnt) in draws:
+        opt = chassis(model, bt, bnt, cw, pw, loss_fn=loss, **kwargs)
+        errs.append(
+            _sq_rel_err(TRUE_LS, float(opt.kernel.deformation.length_scale()))
+        )
+    assert np.mean(errs) < LS_TOL, f"errors={errs}"
+
+
+def test_smoothness_recovery(draws):
+    """Recover smoothness with length scale fixed at truth, via exact
+    gradients through the general-nu Bessel path.  (Jointly, (ls, nu) sit on
+    a likelihood ridge and are not separately identifiable — the reference
+    likewise recovers them in separate test cases.)"""
+    nu_errs = []
+    for _, (cw, pw, bt, bnt) in draws:
+        free_model = MuyGPS(
+            kernel=Matern(
+                smoothness=Parameter(0.8, (0.3, 3.0)),
+                deformation=Isotropy(
+                    l2, length_scale=Parameter(TRUE_LS)
+                ),
+            ),
+            noise=HomoscedasticNoise(1e-3),
+            scale=AnalyticScale(),
+        )
+        opt = L_BFGS_B_optimize(free_model, bt, bnt, cw, pw, loss_fn=lool_fn)
+        nu_errs.append(_sq_rel_err(NU, float(opt.kernel.smoothness())))
+    assert np.mean(nu_errs) < NU_TOL, f"nu errors={nu_errs}"
+
+
+def test_scale_recovery(draws):
+    """Analytic scale at true hyperparameters lands near the unit prior
+    variance of the draws, on average."""
+    errs = []
+    for _, (_, pw, _, bnt) in draws:
+        model = MuyGPS(
+            kernel=Matern(
+                smoothness=Parameter(NU),
+                deformation=Isotropy(l2, length_scale=Parameter(TRUE_LS)),
+            ),
+            noise=HomoscedasticNoise(1e-3),
+            scale=AnalyticScale(),
+        )
+        model.optimize_scale(pw, bnt)
+        errs.append(_sq_rel_err(1.0, float(model.scale())))
+        assert model.scale.trained
+    assert np.mean(errs) < SCALE_TOL, f"errors={errs}"
