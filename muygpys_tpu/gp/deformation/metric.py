@@ -67,10 +67,10 @@ class MetricFn:
 l2 = MetricFn(
     differences_metric_fn=_t.l2,
     apply_length_scale_fn=lambda dists, ls: dists / ls,
-    pairwise_from_indices_fn=lambda data, nn_indices: jnp.sqrt(
+    pairwise_from_indices_fn=lambda data, nn_indices: _t.safe_sqrt(
         _t.pairwise_F2(data, nn_indices)
     ),
-    crosswise_from_indices_fn=lambda d, nd, di, ni: jnp.sqrt(
+    crosswise_from_indices_fn=lambda d, nd, di, ni: _t.safe_sqrt(
         _t.crosswise_F2(d, nd, di, ni)
     ),
 )

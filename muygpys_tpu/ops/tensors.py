@@ -83,9 +83,21 @@ def F2(diffs: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(diffs**2, axis=-1)
 
 
+def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt with a zero (not infinite) gradient at exact zeros.
+
+    Pairwise distance tensors contain exact zeros on their diagonals; when
+    gradients flow through distance *assembly* (deep kernel learning), a bare
+    ``sqrt`` yields NaN there.  The double-where pattern gives sqrt(0)=0 with
+    zero tangent.
+    """
+    positive = x > 0.0
+    return jnp.where(positive, jnp.sqrt(jnp.where(positive, x, 1.0)), 0.0)
+
+
 def l2(diffs: jnp.ndarray) -> jnp.ndarray:
     """Euclidean norm over the trailing (feature) axis."""
-    return jnp.sqrt(F2(diffs))
+    return safe_sqrt(F2(diffs))
 
 
 # --- MXU-friendly distance assembly (no (b, nn, nn, f) materialization) ---
