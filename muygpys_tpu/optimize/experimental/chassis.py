@@ -1,0 +1,162 @@
+"""Epoch-based mini-batch optimization loop (experimental).
+
+API parity: reference ``optimize/experimental/chassis.py:46-319``
+(``optimize_from_tensors_mini_batch``): per-epoch batch resampling, optional
+Bayesian-optimizer state keeping and probing of previous maxima, and
+anisotropy-aware KNN rebuild on the learned per-dimension length scales.
+(The reference's rebuild calls ``Anisotropy._length_scale_array``, which no
+longer exists in its own codebase — stale per SURVEY.md §2.9; here the
+rescale uses the optimizer's current length-scale proposals directly.)
+"""
+
+from __future__ import annotations
+
+from time import perf_counter
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from muygpys_tpu.gp import MuyGPS
+from muygpys_tpu.gp.deformation import Anisotropy
+from muygpys_tpu.neighbors import NN_Wrapper
+from muygpys_tpu.optimize.bayes import BayesianOptimization
+from muygpys_tpu.optimize.batch import sample_batch
+from muygpys_tpu.optimize.chassis import (
+    Bayes_optimize,
+    _get_opt_lists,
+    _new_muygps,
+)
+from muygpys_tpu.optimize.loss import LossFn, lool_fn
+
+
+def optimize_from_tensors_mini_batch(
+    muygps: MuyGPS,
+    train_features,
+    train_responses,
+    nn_count: int,
+    batch_count: int,
+    train_count: int,
+    num_epochs: int = 1,
+    keep_state: bool = False,
+    probe_previous: bool = False,
+    batch_features=None,
+    loss_fn: LossFn = lool_fn,
+    obj_method: str = "loo_crossval",
+    loss_kwargs: Optional[Dict] = None,
+    verbose: bool = False,
+    nn_kwargs: Optional[Dict] = None,
+    rng: Optional[np.random.Generator] = None,
+    **kwargs,
+) -> Tuple[MuyGPS, NN_Wrapper, float, int, int]:
+    """Optimize hyperparameters over fresh mini-batches each epoch.
+
+    Returns (optimized model, final nbrs_lookup, exec time, probe count,
+    total optimization steps).
+    """
+    if obj_method != "loo_crossval":
+        raise ValueError(f"unsupported objective method {obj_method}")
+    rng = rng if rng is not None else np.random.default_rng()
+    train_features = jnp.asarray(train_features)
+    train_responses = jnp.asarray(train_responses)
+
+    x0_names, x0, bounds = _get_opt_lists(muygps, verbose=verbose)
+    bounds_map = {n: tuple(bounds[i]) for i, n in enumerate(x0_names)}
+    x0_map = {n: float(x0[i]) for i, n in enumerate(x0_names)}
+
+    maximize_kwargs = {
+        k: kwargs[k] for k in kwargs if k in {"init_points", "n_iter"}
+    }
+    maximize_kwargs.setdefault("init_points", 5)
+    maximize_kwargs.setdefault("n_iter", 20)
+    optimizer_kwargs = {
+        k: kwargs[k] for k in kwargs if k in {"random_state"}
+    }
+
+    nbrs_lookup = NN_Wrapper(
+        np.asarray(train_features), nn_count, **(nn_kwargs or {})
+    )
+    to_probe = [x0_map]
+    optimizer = None
+    total_pts_probed = 0
+    total_opt_steps = 0
+    time_start = perf_counter()
+
+    batch_pairwise = None
+    batch_nn_targets = None
+    for epoch in range(num_epochs):
+        batch_indices, batch_nn_indices = sample_batch(
+            nbrs_lookup, batch_count, train_count, rng=rng
+        )
+        crosswise, pairwise, batch_targets, nn_targets = (
+            muygps.make_train_tensors(
+                batch_indices, batch_nn_indices, train_features,
+                train_responses,
+            )
+        )
+        batch_pairwise, batch_nn_targets = pairwise, nn_targets
+
+        obj_fn = Bayes_optimize.make_obj_fn(
+            muygps, batch_targets, nn_targets, crosswise, pairwise,
+            batch_features=batch_features, loss_fn=loss_fn,
+            loss_kwargs=loss_kwargs or dict(),
+        )
+
+        def scalar_obj(**params):
+            return float(obj_fn(**params))
+
+        if keep_state and optimizer is not None:
+            optimizer._f = scalar_obj
+        else:
+            optimizer = BayesianOptimization(
+                f=scalar_obj,
+                pbounds=bounds_map,
+                verbose=1 if verbose else 0,
+                **optimizer_kwargs,
+            )
+
+        if probe_previous:
+            for point in to_probe:
+                optimizer.probe(point, lazy=True)
+                total_pts_probed += 1
+        elif epoch == 0:
+            optimizer.probe(to_probe[0], lazy=True)
+            total_pts_probed += 1
+
+        optimizer.maximize(**maximize_kwargs)
+        total_opt_steps += (
+            maximize_kwargs["init_points"] + maximize_kwargs["n_iter"]
+        )
+        to_probe.append(optimizer.max["params"])
+        if verbose:
+            print(f"{epoch}, {optimizer.max['params']}")
+
+        # rebuild neighborhoods under the learned anisotropic scaling
+        if isinstance(muygps.kernel.deformation, Anisotropy) and (
+            epoch < num_epochs - 1
+        ):
+            params = muygps.kernel.deformation.length_scale.set_defaults(
+                **optimizer.max["params"]
+            )
+            scales = np.array(
+                [
+                    params[p.name()]
+                    for p in muygps.kernel.deformation.length_scale._params
+                ]
+            )
+            nbrs_lookup = NN_Wrapper(
+                np.asarray(train_features) / scales,
+                nn_count,
+                **(nn_kwargs or {}),
+            )
+    time_stop = perf_counter()
+
+    new_muygps = _new_muygps(muygps, x0_names, bounds, optimizer.max["params"])
+    new_muygps = new_muygps.optimize_scale(batch_pairwise, batch_nn_targets)
+    return (
+        new_muygps,
+        nbrs_lookup,
+        time_stop - time_start,
+        total_pts_probed,
+        total_opt_steps,
+    )

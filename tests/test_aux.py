@@ -1,0 +1,243 @@
+"""Auxiliary subsystem tests: mini-batch chassis, checkpointing, benchmark
+harness."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from muygpys_tpu._test.sampler import UnivariateSampler
+from muygpys_tpu.checkpoint import (
+    load_fast_state,
+    load_model,
+    save_fast_state,
+    save_model,
+)
+from muygpys_tpu.gp import MultivariateMuyGPS, MuyGPS
+from muygpys_tpu.gp.deformation import (
+    Anisotropy,
+    DifferenceIsotropy,
+    F2,
+    Isotropy,
+    l2,
+)
+from muygpys_tpu.gp.hyperparameter import (
+    AnalyticScale,
+    DownSampleScale,
+    FixedScale,
+    Parameter,
+    VectorParameter,
+)
+from muygpys_tpu.gp.kernels import Matern, RBF
+from muygpys_tpu.gp.kernels.experimental import ShearKernel
+from muygpys_tpu.gp.noise import (
+    HeteroscedasticNoise,
+    HomoscedasticNoise,
+    NullNoise,
+    ShearNoise33,
+)
+from muygpys_tpu.optimize.experimental import (
+    optimize_from_tensors_mini_batch,
+)
+from muygpys_tpu.performance.benchmark import BenchmarkPipeline, benchmark_fn
+
+
+class TestMiniBatch:
+    def test_recovery(self, rng):
+        sampler = UnivariateSampler(
+            data_count=500, train_ratio=0.5, nu=1.5, length_scale=0.05,
+            measurement_noise=1e-3, rng=rng,
+        )
+        xtr, _ = sampler.features()
+        ytr, _ = sampler.sample()
+        model = MuyGPS(
+            kernel=Matern(
+                smoothness=Parameter(1.5),
+                deformation=Isotropy(
+                    l2, length_scale=Parameter(0.3, (0.01, 1.0))
+                ),
+            ),
+            noise=HomoscedasticNoise(1e-3),
+            scale=AnalyticScale(),
+        )
+        opt, nbrs, t, probed, steps = optimize_from_tensors_mini_batch(
+            model, xtr, ytr,
+            nn_count=20, batch_count=150, train_count=xtr.shape[0],
+            num_epochs=2, probe_previous=True,
+            init_points=3, n_iter=8, random_state=0, rng=rng,
+        )
+        ls = float(opt.kernel.deformation.length_scale())
+        assert ((0.05 - ls) / 0.05) ** 2 < 9e-1, f"ls={ls}"
+        assert opt.scale.trained
+        assert probed >= 2 and steps == 2 * 11
+        assert t > 0
+
+    def test_anisotropic_rebuild(self, rng):
+        xtr = rng.uniform(size=(200, 2))
+        ytr = rng.standard_normal((200, 1))
+        model = MuyGPS(
+            kernel=Matern(
+                smoothness=Parameter(1.5),
+                deformation=Anisotropy(
+                    l2,
+                    VectorParameter(
+                        Parameter(0.5, (0.01, 1.0)),
+                        Parameter(0.5, (0.01, 1.0)),
+                    ),
+                ),
+            ),
+            noise=HomoscedasticNoise(1e-3),
+            scale=AnalyticScale(),
+        )
+        opt, nbrs, _, _, _ = optimize_from_tensors_mini_batch(
+            model, xtr, ytr,
+            nn_count=10, batch_count=100, train_count=200,
+            num_epochs=2, init_points=2, n_iter=3, random_state=0, rng=rng,
+        )
+        names, params, _ = opt.get_opt_params()
+        assert names == ["length_scale0", "length_scale1"]
+
+
+class TestCheckpoint:
+    def test_muygps_roundtrip(self, tmp_path):
+        model = MuyGPS(
+            kernel=Matern(
+                smoothness=Parameter(1.7, (0.3, 3.0)),
+                deformation=Isotropy(
+                    l2, length_scale=Parameter(0.42, (0.01, 2.0))
+                ),
+            ),
+            noise=HomoscedasticNoise(3e-3, (1e-5, 1e-1)),
+            scale=AnalyticScale(),
+        )
+        model.scale._set(2.5)
+        path = str(tmp_path / "model.json")
+        save_model(path, model)
+        restored = load_model(path)
+        assert restored == model
+        assert float(restored.scale()) == 2.5
+        assert restored.scale.trained
+        names, params, bounds = restored.get_opt_params()
+        assert names == ["length_scale", "smoothness", "noise"]
+
+    def test_anisotropic_rbf_roundtrip(self, tmp_path):
+        model = MuyGPS(
+            kernel=RBF(
+                deformation=Anisotropy(
+                    F2,
+                    VectorParameter(
+                        Parameter(0.3, (0.01, 1.0)), Parameter(0.9)
+                    ),
+                )
+            ),
+            noise=NullNoise(),
+            scale=FixedScale(),
+        )
+        path = str(tmp_path / "model.json")
+        save_model(path, model)
+        restored = load_model(path)
+        np.testing.assert_allclose(
+            np.asarray(restored.kernel.deformation.length_scale()),
+            [0.3, 0.9],
+        )
+
+    def test_heteroscedastic_and_shear_roundtrip(self, tmp_path, rng):
+        noise_tensor = rng.uniform(0.01, 0.1, size=(50, 10))
+        model = MuyGPS(
+            kernel=Matern(
+                smoothness=Parameter(2.5),
+                deformation=Isotropy(l2, length_scale=Parameter(1.0)),
+            ),
+            noise=HeteroscedasticNoise(jnp.asarray(noise_tensor)),
+        )
+        path = str(tmp_path / "het.json")
+        save_model(path, model)
+        restored = load_model(path)
+        np.testing.assert_allclose(
+            np.asarray(restored.noise()), noise_tensor
+        )
+
+        shear_model = MuyGPS(
+            kernel=ShearKernel(
+                deformation=DifferenceIsotropy(
+                    F2, length_scale=Parameter(0.1)
+                )
+            ),
+            noise=ShearNoise33(1e-4),
+        )
+        path2 = str(tmp_path / "shear.json")
+        save_model(path2, shear_model)
+        restored2 = load_model(path2)
+        assert isinstance(restored2.kernel, ShearKernel)
+        assert isinstance(restored2.noise, ShearNoise33)
+
+    def test_multivariate_roundtrip(self, tmp_path):
+        with pytest.warns(DeprecationWarning):
+            model = MultivariateMuyGPS(
+                {
+                    "kernel": Matern(
+                        smoothness=Parameter(0.5),
+                        deformation=Isotropy(
+                            l2, length_scale=Parameter(0.7)
+                        ),
+                    ),
+                    "noise": HomoscedasticNoise(1e-4),
+                    "scale": DownSampleScale(down_count=5),
+                },
+                {
+                    "kernel": Matern(
+                        smoothness=Parameter(1.5),
+                        deformation=Isotropy(
+                            l2, length_scale=Parameter(0.2)
+                        ),
+                    ),
+                    "noise": HomoscedasticNoise(1e-4),
+                    "scale": AnalyticScale(),
+                },
+            )
+        path = str(tmp_path / "mmodel.json")
+        save_model(path, model)
+        restored = load_model(path)
+        assert isinstance(restored, MultivariateMuyGPS)
+        assert len(restored.models) == 2
+        assert restored.models[0] == model.models[0]
+        assert isinstance(restored.models[0].scale, DownSampleScale)
+
+    def test_fast_state_roundtrip(self, tmp_path, rng):
+        coeffs = rng.standard_normal((100, 10))
+        nn = rng.integers(0, 100, (100, 10))
+        path = str(tmp_path / "fast.npz")
+        save_fast_state(path, coeffs, nn)
+        c2, n2 = load_fast_state(path)
+        np.testing.assert_array_equal(c2, coeffs)
+        np.testing.assert_array_equal(n2, nn)
+
+
+class TestBenchmarkHarness:
+    def test_stages(self):
+        model = MuyGPS(
+            kernel=Matern(
+                smoothness=Parameter(1.5),
+                deformation=Isotropy(
+                    l2, length_scale=Parameter(0.5, (0.1, 2.0))
+                ),
+            ),
+            noise=HomoscedasticNoise(1e-3),
+            scale=AnalyticScale(),
+        )
+        pipe = BenchmarkPipeline(
+            model, batch_count=64, nn_count=8, feature_count=2
+        )
+        timings = pipe.run(iters=2)
+        expected = {
+            "pairwise_tensor", "crosswise_tensor", "kernel_Kin",
+            "kernel_Kcross", "posterior_mean", "posterior_variance",
+            "scale_optim", "lool_objective", "lool_objective_grad",
+        }
+        assert set(timings) == expected
+        assert all(v > 0 for v in timings.values())
+
+    def test_benchmark_fn(self):
+        import jax.numpy as jnp
+
+        t = benchmark_fn(lambda x: jnp.sum(x * x), jnp.ones(100), iters=3)
+        assert t > 0
