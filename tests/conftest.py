@@ -47,6 +47,12 @@ def pytest_configure(config):
     )
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(42)
+@pytest.fixture(scope="module")
+def rng(request):
+    """Deterministic per-module RNG: test data does not depend on which other
+    test modules ran first (a session-scoped generator made tests
+    order-sensitive)."""
+    import zlib
+
+    seed = zlib.crc32(request.module.__name__.encode())
+    return np.random.default_rng(seed)
