@@ -106,13 +106,10 @@ class NN_Wrapper:
                 n_neighbors=nn_count, **exact_kwargs
             ).fit(train)
         elif self.nn_method == "hnsw":
-            try:
-                import hnswlib
-            except ImportError as e:
-                raise ModuleNotFoundError(
-                    "hnswlib is not installed; use nn_method='exact'"
-                ) from e
-            self.nbrs = hnswlib.Index(space="l2", dim=self.feature_count)
+            # in-tree C++ HNSW (muygpys_tpu/native/hnsw.cpp) — replaces the
+            # reference's external hnswlib dependency
+            from muygpys_tpu.native import HNSW
+
             index_kwargs = {
                 k: kwargs[k]
                 for k in kwargs
@@ -120,7 +117,7 @@ class NN_Wrapper:
                          "random_seed"}
             }
             index_kwargs.setdefault("max_elements", self.train_count)
-            self.nbrs.init_index(**index_kwargs)
+            self.nbrs = HNSW(self.feature_count, **index_kwargs)
             self.nbrs.add_items(train)
         else:
             raise NotImplementedError(
@@ -155,4 +152,4 @@ class NN_Wrapper:
             return idx, dists**2  # match hnsw's squared-l2 convention
         else:
             idx, d2 = self.nbrs.knn_query(test, k=nn_count)
-            return idx.astype(np.int64), d2
+            return idx, d2.astype(np.float64)

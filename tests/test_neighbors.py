@@ -48,3 +48,31 @@ def test_unknown_method_raises(data):
     train, _ = data
     with pytest.raises(NotImplementedError):
         NN_Wrapper(train, 5, nn_method="kdtree-foo")
+
+
+def test_hnsw_native(data):
+    """In-tree C++ HNSW: high recall vs the exact device index."""
+    train, test = data
+    nn = 10
+    approx = NN_Wrapper(train, nn, nn_method="hnsw", random_seed=7)
+    exact = NN_Wrapper(train, nn, nn_method="exact")
+    ai, ad = approx.get_nns(test)
+    ei, ed = exact.get_nns(test)
+    recall = np.mean(
+        [len(set(ai[i]) & set(ei[i])) / nn for i in range(len(test))]
+    )
+    assert recall > 0.9, f"recall={recall}"
+    # distances are squared l2, ascending
+    assert np.all(np.diff(ad, axis=1) >= -1e-5)
+    np.testing.assert_allclose(
+        ad[:, 0], ed[:, 0], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_hnsw_batch_nns(data):
+    train, _ = data
+    approx = NN_Wrapper(train, 8, nn_method="hnsw", random_seed=7)
+    batch = np.arange(50)
+    idx, d2 = approx.get_batch_nns(batch)
+    assert idx.shape == (50, 8)
+    assert not np.any(idx == batch[:, None])
