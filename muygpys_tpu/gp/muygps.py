@@ -105,6 +105,21 @@ class MuyGPS:
     def posterior_variance(self, Kin, Kcross, **kwargs) -> jnp.ndarray:
         return self._var_fn(Kin, Kcross, **kwargs)
 
+    def posterior_mean_and_variance(
+        self, Kin, Kcross, batch_nn_targets, **kwargs
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Fused mean + scaled variance from ONE batched solve (serve path).
+
+        Faster than calling :meth:`posterior_mean` and
+        :meth:`posterior_variance` separately (which re-factorize Kin);
+        univariate and diagonal-multivariate layouts only.
+        """
+        perturbed = self.noise.perturb(Kin, **kwargs)
+        mean, var = _solve.serve_mean_and_variance(
+            perturbed, Kcross, self.kernel.Kout(), batch_nn_targets
+        )
+        return mean, self.scale() * var
+
     def fast_coefficients(
         self, Kin, train_nn_targets_fast, **kwargs
     ) -> jnp.ndarray:

@@ -168,3 +168,32 @@ class TestScale:
         np.testing.assert_allclose(
             got, oracle.analytic_scale(Kin, y[:, :, 0:1]), rtol=1e-9
         )
+
+
+class TestServePath:
+    def test_serve_matches_separate(self, spd_problem):
+        Kin, Kcross, y = spd_problem
+        mean, var = solve.serve_mean_and_variance(
+            jnp.asarray(Kin), jnp.asarray(Kcross), jnp.asarray(1.0),
+            jnp.asarray(y),
+        )
+        np.testing.assert_allclose(
+            mean, oracle.posterior_mean(Kin, Kcross, y), rtol=1e-9,
+            atol=1e-11,
+        )
+        np.testing.assert_allclose(
+            var, oracle.diagonal_variance(Kin, Kcross), rtol=1e-9,
+            atol=1e-11,
+        )
+
+    def test_serve_univariate_2d(self, spd_problem):
+        Kin, Kcross, y = spd_problem
+        mean, var = solve.serve_mean_and_variance(
+            jnp.asarray(Kin), jnp.asarray(Kcross), jnp.asarray(1.0),
+            jnp.asarray(y[:, :, 0]),
+        )
+        assert mean.shape == (Kin.shape[0],)
+        np.testing.assert_allclose(
+            mean, oracle.posterior_mean(Kin, Kcross, y[:, :, 0:1])[:, 0],
+            rtol=1e-9, atol=1e-11,
+        )
