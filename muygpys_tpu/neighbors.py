@@ -30,6 +30,9 @@ import numpy as np
 _QUERY_TILE = 512
 
 
+_TRAIN_TILE = 16384
+
+
 @partial(jax.jit, static_argnames=("nn_count", "query_tile"))
 def _brute_force_knn(
     train: jnp.ndarray,
@@ -55,7 +58,8 @@ def _brute_force_knn(
         d2 = (
             jnp.sum(q * q, axis=-1)[:, None]
             + train_sq[None, :]
-            - 2.0 * q @ train.T
+            - 2.0
+            * jnp.matmul(q, train.T, precision=jax.lax.Precision.HIGHEST)
         )
         neg_vals, idx = jax.lax.top_k(-d2, nn_count)
         return idx, jnp.maximum(-neg_vals, 0.0)
@@ -64,6 +68,98 @@ def _brute_force_knn(
     idx = idx.reshape(padded, nn_count)[:query_count]
     d2 = d2.reshape(padded, nn_count)[:query_count]
     return idx, d2
+
+
+@partial(
+    jax.jit, static_argnames=("nn_count", "query_tile", "train_tile")
+)
+def _brute_force_knn_scan(
+    train: jnp.ndarray,
+    queries: jnp.ndarray,
+    nn_count: int,
+    query_tile: int = _QUERY_TILE,
+    train_tile: int = _TRAIN_TILE,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Million-scale exact KNN: scan over train tiles with a running top-k.
+
+    Never materializes more than a ``(query_tile, train_tile)`` distance
+    block, so memory is O(tile^2) regardless of train size — the scalable
+    path for BASELINE config 5 (million-scale sky points).  Each scan step
+    merges the new tile's candidates into the running best via one
+    ``lax.top_k`` over ``nn_count + train_tile`` lanes.
+    """
+    query_count, feat = queries.shape
+    train_count = train.shape[0]
+
+    t_tiles = math.ceil(train_count / train_tile)
+    t_padded = t_tiles * train_tile
+    # pad with +inf norms so padded rows never enter the top-k
+    train_pad = jnp.pad(train, ((0, t_padded - train_count), (0, 0)))
+    train_sq = jnp.sum(train_pad * train_pad, axis=-1)
+    train_sq = jnp.where(
+        jnp.arange(t_padded) < train_count, train_sq, jnp.inf
+    )
+    train_tiles = train_pad.reshape(t_tiles, train_tile, feat)
+    sq_tiles = train_sq.reshape(t_tiles, train_tile)
+
+    q_tiles_count = math.ceil(query_count / query_tile)
+    q_padded = q_tiles_count * query_tile
+    q_pad = jnp.pad(queries, ((0, q_padded - query_count), (0, 0)))
+    q_tiles = q_pad.reshape(q_tiles_count, query_tile, feat)
+
+    def one_query_tile(q):
+        q_sq = jnp.sum(q * q, axis=-1)[:, None]
+
+        def step(carry, tile):
+            best_negd, best_idx = carry
+            t_feat, t_sq, t_base = tile
+            d2 = q_sq + t_sq[None, :] - 2.0 * jnp.matmul(
+                q, t_feat.T, precision=jax.lax.Precision.HIGHEST
+            )
+            cand_negd = jnp.concatenate([best_negd, -d2], axis=1)
+            cand_idx = jnp.concatenate(
+                [
+                    best_idx,
+                    jnp.broadcast_to(
+                        t_base + jnp.arange(train_tile, dtype=jnp.int32),
+                        d2.shape,
+                    ),
+                ],
+                axis=1,
+            )
+            negd, sel = jax.lax.top_k(cand_negd, nn_count)
+            idx = jnp.take_along_axis(cand_idx, sel, axis=1)
+            return (negd, idx), None
+
+        init = (
+            jnp.full((query_tile, nn_count), -jnp.inf),
+            jnp.zeros((query_tile, nn_count), jnp.int32),
+        )
+        bases = (jnp.arange(t_tiles) * train_tile).astype(jnp.int32)
+        (negd, idx), _ = jax.lax.scan(
+            step, init, (train_tiles, sq_tiles, bases)
+        )
+        return idx, jnp.maximum(-negd, 0.0)
+
+    idx, d2 = jax.lax.map(one_query_tile, q_tiles)
+    idx = idx.reshape(q_padded, nn_count)[:query_count]
+    d2 = d2.reshape(q_padded, nn_count)[:query_count]
+    return idx, d2
+
+
+@partial(jax.jit, static_argnames=("nn_count",))
+def _refine_knn(
+    train: jnp.ndarray,
+    queries: jnp.ndarray,
+    cand_idx: jnp.ndarray,
+    nn_count: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact re-rank of candidate neighbors by direct squared differences."""
+    cand = train[cand_idx]  # (q, kc, f)
+    d2 = jnp.sum((queries[:, None, :] - cand) ** 2, axis=-1)
+    negd, sel = jax.lax.top_k(-d2, nn_count)
+    idx = jnp.take_along_axis(cand_idx, sel, axis=1)
+    return idx, jnp.maximum(-negd, 0.0)
 
 
 class NN_Wrapper:
@@ -143,8 +239,23 @@ class NN_Wrapper:
         if test.ndim == 1:
             test = test[:, None]
         if self.nn_method in ("exact", "brute"):
-            idx, d2 = _brute_force_knn(
-                self._train_dev, jnp.asarray(test), nn_count
+            # over-fetch via the MXU Gram-identity path, then re-rank the
+            # candidates with exact differences: the |a|^2+|b|^2-2ab identity
+            # loses ~eps*|a|^2 absolute precision in f32, which scrambles
+            # ranking once true nearest distances approach that noise floor
+            # (dense million-point sets)
+            cand_count = min(nn_count + 32, self.train_count)
+            queries = jnp.asarray(test)
+            if self.train_count > _TRAIN_TILE:
+                cand_idx, _ = _brute_force_knn_scan(
+                    self._train_dev, queries, cand_count
+                )
+            else:
+                cand_idx, _ = _brute_force_knn(
+                    self._train_dev, queries, cand_count
+                )
+            idx, d2 = _refine_knn(
+                self._train_dev, queries, cand_idx, nn_count
             )
             return np.asarray(idx), np.asarray(d2)
         elif self.nn_method == "sklearn":

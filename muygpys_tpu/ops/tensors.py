@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -114,7 +115,10 @@ def pairwise_F2(data: jnp.ndarray, nn_indices: jnp.ndarray) -> jnp.ndarray:
     points = data[nn_indices]  # (batch, nn, feat)
     sq = jnp.sum(points * points, axis=-1)  # (batch, nn)
     gram = jnp.einsum(
-        "bif,bjf->bij", points, points, preferred_element_type=points.dtype
+        "bif,bjf->bij",
+        points,
+        points,
+        precision=jax.lax.Precision.HIGHEST,
     )
     d2 = sq[..., :, None] + sq[..., None, :] - 2.0 * gram
     return jnp.maximum(d2, 0.0)
@@ -133,9 +137,16 @@ def crosswise_F2(
     points = nn_data[nn_indices]  # (batch, nn, feat) or shared (nn, feat)
     if points.ndim == 2:
         # one shared candidate set for every location (e.g. knot grids)
-        gram = locations @ points.T
+        gram = jnp.matmul(
+            locations, points.T, precision=jax.lax.Precision.HIGHEST
+        )
     else:
-        gram = jnp.einsum("bf,bnf->bn", locations, points)
+        gram = jnp.einsum(
+            "bf,bnf->bn",
+            locations,
+            points,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     d2 = (
         jnp.sum(locations * locations, axis=-1)[..., None]
         + jnp.sum(points * points, axis=-1)

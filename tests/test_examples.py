@@ -81,7 +81,9 @@ class TestRegress:
                         l2, length_scale=Parameter(2.0, (0.1, 10.0))
                     ),
                 ),
-                "noise": HomoscedasticNoise(1e-2),
+                # noise free alongside ls: with fixed (misspecified) noise,
+                # lool can prefer degenerate short length scales
+                "noise": HomoscedasticNoise(1e-2, (1e-4, 1e-1)),
                 "scale": AnalyticScale(),
             },
         )

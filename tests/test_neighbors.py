@@ -76,3 +76,22 @@ def test_hnsw_batch_nns(data):
     idx, d2 = approx.get_batch_nns(batch)
     assert idx.shape == (50, 8)
     assert not np.any(idx == batch[:, None])
+
+
+def test_scan_knn_matches_direct(rng):
+    """The million-scale scan path must agree with the direct path."""
+    from muygpys_tpu.neighbors import (
+        _brute_force_knn,
+        _brute_force_knn_scan,
+    )
+    import jax.numpy as jnp
+
+    train = jnp.asarray(rng.normal(size=(3000, 6)))
+    queries = jnp.asarray(rng.normal(size=(137, 6)))
+    di, dd = _brute_force_knn(train, queries, 9)
+    si, sd = _brute_force_knn_scan(
+        train, queries, 9, query_tile=64, train_tile=512
+    )
+    np.testing.assert_allclose(np.asarray(sd), np.asarray(dd), rtol=1e-8,
+                               atol=1e-10)
+    assert (np.asarray(si) == np.asarray(di)).mean() > 0.999
