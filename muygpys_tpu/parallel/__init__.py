@@ -1,3 +1,4 @@
+from muygpys_tpu.parallel.knn import sharded_knn
 from muygpys_tpu.parallel.mesh import initialize_distributed, make_mesh
 from muygpys_tpu.parallel.sharding import (
     batch_spec,
@@ -16,5 +17,6 @@ __all__ = [
     "make_mesh",
     "replicate",
     "shard",
+    "sharded_knn",
     "shard_batch",
 ]

@@ -153,3 +153,31 @@ def test_sharded_optimization_recovers_like_serial(problem, mesh):
         float(opt_serial.kernel.deformation.length_scale()),
         rtol=1e-5,
     )
+
+
+def test_sharded_knn_matches_serial(mesh, rng):
+    """Distributed KNN over sharded train rows == single-device exact KNN."""
+    from muygpys_tpu.neighbors import _brute_force_knn
+    from muygpys_tpu.parallel import shard
+    from muygpys_tpu.parallel.knn import sharded_knn
+
+    train = rng.normal(size=(1024, 5))
+    queries = rng.normal(size=(100, 5))
+    train_sh = shard(train, mesh)
+    idx_d, d2_d = sharded_knn(train_sh, jnp.asarray(queries), 12, mesh)
+    idx_s, d2_s = _brute_force_knn(
+        jnp.asarray(train), jnp.asarray(queries), 12
+    )
+    np.testing.assert_allclose(
+        np.asarray(d2_d), np.asarray(d2_s), rtol=1e-9, atol=1e-12
+    )
+    assert (np.asarray(idx_d) == np.asarray(idx_s)).mean() > 0.999
+
+
+def test_sharded_knn_rejects_ragged(mesh, rng):
+    from muygpys_tpu.parallel import shard
+    from muygpys_tpu.parallel.knn import sharded_knn
+
+    train = rng.normal(size=(1001, 3))  # not divisible by 8
+    with pytest.raises(ValueError, match="must divide"):
+        sharded_knn(jnp.asarray(train), jnp.asarray(train[:5]), 4, mesh)
