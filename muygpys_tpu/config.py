@@ -12,8 +12,9 @@ Environment variables (read once at import):
   precision.  On TPU hardware f64 is emulated and slow; it exists for
   conformance testing against the reference numpy semantics
   (reference README.md:162-172 documents up-to-1e-2 f32/f64 solve drift).
-- ``MUYGPYS_HALF``: if ``"1"``, distance/kernel *assembly* tensors may use
-  bfloat16 storage with f32 accumulation (solves always accumulate in f32).
+
+Distance matmuls always run at ``jax.lax.Precision.HIGHEST`` regardless of
+ftype (see README "Float-width policy").
 """
 
 from __future__ import annotations
@@ -32,13 +33,9 @@ def _env_ftype() -> int:
 @dataclasses.dataclass
 class _State:
     ftype: int = 32
-    bf16_assembly: bool = False
 
 
-state = _State(
-    ftype=_env_ftype(),
-    bf16_assembly=os.environ.get("MUYGPYS_HALF", "0") == "1",
-)
+state = _State(ftype=_env_ftype())
 
 if state.ftype == 64:
     import jax
@@ -60,8 +57,6 @@ def update(key: str, value) -> None:
             raise ValueError(f"ftype must be 32 or 64, got {value}")
         state.ftype = value
         jax.config.update("jax_enable_x64", value == 64)
-    elif key in ("bf16_assembly", "muygpys_half"):
-        state.bf16_assembly = bool(value)
     else:
         raise ValueError(f"unknown config key {key!r}")
 

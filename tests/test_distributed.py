@@ -181,3 +181,48 @@ def test_sharded_knn_rejects_ragged(mesh, rng):
     train = rng.normal(size=(1001, 3))  # not divisible by 8
     with pytest.raises(ValueError, match="must divide"):
         sharded_knn(jnp.asarray(train), jnp.asarray(train[:5]), 4, mesh)
+
+
+def test_sharded_heteroscedastic_and_fast_paths(mesh, rng):
+    """Heteroscedastic noise and the fast precompute/serve path work under
+    batch sharding — both raise NotImplementedError in the reference's MPI
+    backend (_src/gp/noise/mpi.py, _src/gp/muygps/mpi.py)."""
+    from muygpys_tpu.gp.noise import HeteroscedasticNoise
+    from muygpys_tpu.ops import solve as solve_ops
+
+    b, n = even_batch(64, mesh), 10
+    A = rng.normal(size=(b, n, n))
+    Kin = jnp.asarray(A @ np.swapaxes(A, -2, -1) / n + 2.0 * np.eye(n))
+    Kcross = jnp.asarray(rng.uniform(0.1, 1.0, size=(b, n)))
+    y = jnp.asarray(rng.normal(size=(b, n)))
+    noise_t = jnp.asarray(rng.uniform(0.01, 0.1, size=(b, n)))
+
+    noise = HeteroscedasticNoise(noise_t)
+    serial_K = np.array(noise.perturb(Kin))
+    serial_coeffs = np.array(
+        solve_ops.fast_posterior_mean_precompute(noise.perturb(Kin), y)
+    )
+    serial_fast = np.array(
+        solve_ops.fast_posterior_mean(Kcross, jnp.asarray(serial_coeffs))
+    )
+
+    Kin_s, Kcross_s, y_s, noise_s = shard_batch(
+        (Kin, Kcross, y, noise_t), mesh
+    )
+    noise_sh = HeteroscedasticNoise(noise_s)
+
+    @jax.jit
+    def fast_pipeline(Kin_, Kcross_, y_):
+        coeffs = solve_ops.fast_posterior_mean_precompute(
+            noise_sh.perturb(Kin_), y_
+        )
+        return coeffs, solve_ops.fast_posterior_mean(Kcross_, coeffs)
+
+    coeffs_sh, fast_sh = fast_pipeline(Kin_s, Kcross_s, y_s)
+    assert len(fast_sh.sharding.device_set) == 8
+    np.testing.assert_allclose(
+        gather_global(coeffs_sh), serial_coeffs, rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        gather_global(fast_sh), serial_fast, rtol=1e-9, atol=1e-11
+    )
