@@ -1,3 +1,7 @@
-from muygpys_tpu.nn.muygps_layer import DeepKernelMuyGPs, MuyGPsLayer
+from muygpys_tpu.nn.muygps_layer import (
+    DeepKernelMuyGPs,
+    MultivariateMuyGPsLayer,
+    MuyGPsLayer,
+)
 
-__all__ = ["DeepKernelMuyGPs", "MuyGPsLayer"]
+__all__ = ["DeepKernelMuyGPs", "MultivariateMuyGPsLayer", "MuyGPsLayer"]

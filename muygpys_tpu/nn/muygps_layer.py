@@ -124,6 +124,43 @@ class MuyGPsLayer(nn.Module):
         return mean, jnp.maximum(var, eps)
 
 
+class MultivariateMuyGPsLayer(nn.Module):
+    """Multivariate final GP layer: one kernel per response dimension.
+
+    Parity with the reference's deprecated ``MultivariateMuyGPs_layer``
+    (``torch/multivariate_muygps_layer.py:27``): per-response trainable
+    (log) length scales and noises over a shared embedded space.
+    """
+
+    muygps_model: "object"  # MultivariateMuyGPS
+    train_smoothness: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        batch_indices: jnp.ndarray,
+        batch_nn_indices: jnp.ndarray,
+        batch_nn_targets: jnp.ndarray,
+    ):
+        means, variances = [], []
+        for i, model in enumerate(self.muygps_model.models):
+            layer = MuyGPsLayer(
+                muygps_model=model,
+                train_smoothness=self.train_smoothness,
+                name=f"response_{i}",
+            )
+            mean_i, var_i = layer(
+                x,
+                batch_indices,
+                batch_nn_indices,
+                batch_nn_targets[:, :, i : i + 1],
+            )
+            means.append(mean_i.reshape(-1))
+            variances.append(var_i.reshape(-1))
+        return jnp.stack(means, axis=1), jnp.stack(variances, axis=1)
+
+
 class DeepKernelMuyGPs(nn.Module):
     """Convenience wrapper: an embedding network feeding a MuyGPs layer.
 

@@ -112,14 +112,20 @@ def pairwise_F2(data: jnp.ndarray, nn_indices: jnp.ndarray) -> jnp.ndarray:
     cancellation to zero so downstream ``sqrt`` is safe.
     """
     data = _atleast_feature_dim(data)
-    points = data[nn_indices]  # (batch, nn, feat)
+    points = data[nn_indices]  # (batch, nn, feat) or (nn, feat) for 1-D idx
     sq = jnp.sum(points * points, axis=-1)  # (batch, nn)
-    gram = jnp.einsum(
-        "bif,bjf->bij",
-        points,
-        points,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    if points.ndim == 2:
+        # single neighborhood (e.g. a knot grid): plain Gram matrix
+        gram = jnp.matmul(
+            points, points.T, precision=jax.lax.Precision.HIGHEST
+        )
+    else:
+        gram = jnp.einsum(
+            "bif,bjf->bij",
+            points,
+            points,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     d2 = sq[..., :, None] + sq[..., None, :] - 2.0 * gram
     return jnp.maximum(d2, 0.0)
 

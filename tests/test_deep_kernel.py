@@ -129,3 +129,49 @@ def test_loss_name_validation(problem, rng):
             _make_model(), xtr, ytr, np.arange(50), nbrs,
             training_iterations=1, loss_function="nope",
         )
+
+
+def test_multivariate_layer(problem, rng):
+    """MultivariateMuyGPsLayer: per-response GP heads over one embedding."""
+    import warnings
+    from muygpys_tpu.gp import MultivariateMuyGPS
+    from muygpys_tpu.nn import MultivariateMuyGPsLayer
+
+    xtr, ytr, _, _ = problem
+    y2 = np.concatenate([ytr, -ytr + 0.1], axis=1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        mmodel = MultivariateMuyGPS(
+            *(
+                {
+                    "kernel": Matern(
+                        smoothness=Parameter(1.5),
+                        deformation=Isotropy(
+                            l2, length_scale=Parameter(1.0)
+                        ),
+                    ),
+                    "noise": HomoscedasticNoise(1e-3),
+                }
+                for _ in range(2)
+            )
+        )
+    layer = MultivariateMuyGPsLayer(muygps_model=mmodel)
+    bi = np.arange(50)
+    bni = rng.integers(0, 400, size=(50, 10))
+    params = layer.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(xtr),
+        jnp.asarray(bi),
+        jnp.asarray(bni),
+        jnp.asarray(y2)[bni],
+    )
+    mean, var = layer.apply(
+        params, jnp.asarray(xtr), jnp.asarray(bi), jnp.asarray(bni),
+        jnp.asarray(y2)[bni],
+    )
+    assert mean.shape == (50, 2)
+    assert var.shape == (50, 2)
+    assert np.all(np.isfinite(np.asarray(mean)))
+    # two response heads own separate trainable length scales
+    assert "response_0" in params["params"]
+    assert "response_1" in params["params"]

@@ -1,0 +1,97 @@
+"""Hierarchical nonstationary hyperparameter tests (mirror of reference
+tests/experimental/nonstationary.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from muygpys_tpu.gp import MuyGPS
+from muygpys_tpu.gp.deformation import Isotropy, l2
+from muygpys_tpu.gp.hyperparameter import (
+    AnalyticScale,
+    Parameter,
+    VectorParameter,
+)
+from muygpys_tpu.gp.hyperparameter.experimental import (
+    HierarchicalParameter,
+    NamedHierarchicalParameter,
+    sample_knots,
+)
+from muygpys_tpu.gp.kernels import Matern, RBF
+from muygpys_tpu.gp.noise import HomoscedasticNoise
+from muygpys_tpu.optimize import L_BFGS_B_optimize, lool_fn
+
+
+@pytest.mark.parametrize("kernel_cls", [RBF, Matern])
+def test_hierarchical_parameter_shapes(kernel_cls, rng):
+    knot_count, batch_count, feat = 10, 50, 4
+    knot_features = jnp.asarray(sample_knots(feat, knot_count))
+    knot_values = VectorParameter(
+        *[Parameter(float(v)) for v in rng.uniform(0.2, 0.8, knot_count)]
+    )
+    hyp = NamedHierarchicalParameter(
+        "custom_param_name",
+        HierarchicalParameter(knot_features, knot_values, kernel_cls()),
+    )
+    batch_features = jnp.asarray(rng.uniform(size=(batch_count, feat)))
+    values = hyp(batch_features)
+    assert values.shape == (batch_count,)
+    assert np.all(np.isfinite(np.asarray(values)))
+    # near a knot, the interpolated value approaches the knot value
+    near = hyp(knot_features)
+    np.testing.assert_allclose(
+        np.asarray(near), np.asarray(knot_values()), atol=0.1
+    )
+
+
+def test_hierarchical_lengthscale_in_model(rng):
+    """A Matern model with a hierarchical length scale evaluates and its LOO
+    objective accepts per-knot kwargs + batch_features."""
+    knot_count, batch_count, nn = 5, 32, 8
+    knot_features = jnp.asarray(sample_knots(2, knot_count))
+    knot_values = VectorParameter(
+        *[Parameter(0.5, (0.1, 2.0)) for _ in range(knot_count)]
+    )
+    model = MuyGPS(
+        kernel=Matern(
+            smoothness=Parameter(1.5),
+            deformation=Isotropy(
+                l2,
+                length_scale=HierarchicalParameter(
+                    knot_features, knot_values, RBF()
+                ),
+            ),
+        ),
+        noise=HomoscedasticNoise(1e-3),
+        scale=AnalyticScale(),
+    )
+    xtr = rng.uniform(size=(100, 2))
+    ytr = rng.standard_normal((100, 1))
+    bi = np.arange(batch_count)
+    bni = rng.integers(0, 100, size=(batch_count, nn))
+    cw, pw, bt, bnt = model.make_train_tensors(
+        bi, bni, jnp.asarray(xtr), jnp.asarray(ytr)
+    )
+    batch_features = jnp.asarray(xtr[bi])
+
+    names, params, bounds = model.get_opt_params()
+    assert names == [f"length_scale{i}" for i in range(knot_count)] + [
+        "smoothness"
+    ][:0]  # smoothness fixed; only knot values free
+    Kin = model.kernel(pw, batch_features=batch_features)
+    assert Kin.shape == (batch_count, nn, nn)
+
+    obj = L_BFGS_B_optimize.make_obj_fn(
+        model, bt, bnt, cw, pw,
+        batch_features=batch_features, loss_fn=lool_fn,
+    )
+    val = float(obj(**{f"length_scale{i}": 0.5 for i in range(knot_count)}))
+    assert np.isfinite(val)
+
+    opt = L_BFGS_B_optimize(
+        model, bt, bnt, cw, pw,
+        batch_features=batch_features, loss_fn=lool_fn,
+    )
+    for i in range(knot_count):
+        v = float(opt.kernel._hyperparameters[f"length_scale{i}"]())
+        assert 0.1 <= v <= 2.0

@@ -241,3 +241,50 @@ class TestPosterior:
         assert var.shape == (4, 3, 3)
         assert np.all(np.isfinite(mean))
         assert np.all(np.isfinite(np.array(var)))
+
+
+class TestShearOptimization:
+    def test_length_scale_recovery(self, grid, rng):
+        """LOO optimization of the shear kernel's length scale via the
+        standard chassis (mirror of reference tests/experimental/shear.py
+        optimization cases)."""
+        from muygpys_tpu.optimize import L_BFGS_B_optimize, mse_fn
+
+        ls_true, noise = 0.10, 1e-5
+        n = grid.shape[0]
+        Kdense = _dense_shear_cov(grid, grid, ls_true)
+        L = np.linalg.cholesky(Kdense + 1e-8 * np.eye(3 * n))
+        flat = L @ rng.standard_normal(3 * n)
+        targets = flat.reshape(3, n).T  # (n, 3)
+
+        model = MuyGPS(
+            kernel=ShearKernel(
+                deformation=DifferenceIsotropy(
+                    F2, length_scale=Parameter(0.15, (0.02, 0.3))
+                )
+            ),
+            noise=ShearNoise33(noise),
+            scale=FixedScale(),
+        )
+        nn = 12
+        batch = n
+        d = np.linalg.norm(grid[:, None] - grid[None], axis=-1)
+        bni = np.argsort(d, axis=1)[:, 1 : nn + 1]
+        bi = np.arange(batch)
+        pairwise = model.kernel.deformation.pairwise_tensor(
+            jnp.asarray(grid), bni
+        )
+        crosswise = model.kernel.deformation.crosswise_tensor(
+            jnp.asarray(grid), jnp.asarray(grid), bi, bni
+        )
+        batch_targets = jnp.asarray(targets)  # (b, 3)
+        batch_nn_targets = jnp.asarray(
+            targets[bni].swapaxes(-2, -1)
+        )  # (b, 3, nn)
+
+        opt = L_BFGS_B_optimize(
+            model, batch_targets, batch_nn_targets, crosswise, pairwise,
+            loss_fn=mse_fn,
+        )
+        ls = float(opt.kernel.deformation.length_scale())
+        assert ((ls_true - ls) / ls_true) ** 2 < 9e-1, f"ls={ls}"
