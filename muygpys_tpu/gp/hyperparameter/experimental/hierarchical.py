@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, List, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from muygpys_tpu.gp.hyperparameter import (
@@ -99,7 +100,15 @@ class NamedHierarchicalParameter(HierarchicalParameter):
                 jnp.arange(self._knot_features.shape[0]),
             )
         )
-        return jnp.squeeze(lower_Kcross @ solve)
+        raw = jnp.squeeze(lower_Kcross @ solve)
+        # GP interpolation can overshoot below zero between knots (RBF
+        # weights are signed), which would hand a negative length scale to
+        # the lower-level kernel and NaN the loss.  A sharp softplus floors
+        # the field at ~0 while matching the raw interpolant to <1e-4 for
+        # values above ~0.3.  (The reference returns the raw interpolant and
+        # inherits the NaN, hierarchical.py:110-124.)
+        beta = 20.0
+        return 1e-6 + jax.nn.softplus(beta * raw) / beta
 
     def filter_kwargs(self, **kwargs) -> Tuple[Dict, Dict]:
         params, kwargs = self._params.filter_kwargs(**kwargs)

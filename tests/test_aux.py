@@ -72,8 +72,14 @@ class TestMiniBatch:
         assert t > 0
 
     def test_anisotropic_rebuild(self, rng):
-        xtr = rng.uniform(size=(200, 2))
-        ytr = rng.standard_normal((200, 1))
+        from muygpys_tpu._test.sampler import UnivariateSampler2D
+
+        sampler = UnivariateSampler2D(
+            points_per_dim=20, train_ratio=0.5, nu=1.5, length_scale=0.1,
+            rng=rng,
+        )
+        xtr, _ = sampler.features()
+        ytr, _ = sampler.sample()
         model = MuyGPS(
             kernel=Matern(
                 smoothness=Parameter(1.5),

@@ -75,9 +75,8 @@ def test_hierarchical_lengthscale_in_model(rng):
     batch_features = jnp.asarray(xtr[bi])
 
     names, params, bounds = model.get_opt_params()
-    assert names == [f"length_scale{i}" for i in range(knot_count)] + [
-        "smoothness"
-    ][:0]  # smoothness fixed; only knot values free
+    # smoothness is fixed; only the knot values are free
+    assert names == [f"length_scale{i}" for i in range(knot_count)]
     Kin = model.kernel(pw, batch_features=batch_features)
     assert Kin.shape == (batch_count, nn, nn)
 
@@ -92,6 +91,18 @@ def test_hierarchical_lengthscale_in_model(rng):
         model, bt, bnt, cw, pw,
         batch_features=batch_features, loss_fn=lool_fn,
     )
-    for i in range(knot_count):
-        v = float(opt.kernel._hyperparameters[f"length_scale{i}"]())
-        assert 0.1 <= v <= 2.0
+    opt_vals = [
+        float(opt.kernel._hyperparameters[f"length_scale{i}"]())
+        for i in range(knot_count)
+    ]
+    assert all(0.1 <= v <= 2.0 for v in opt_vals)
+    # the optimizer must have moved the knots and improved the objective
+    assert any(abs(v - 0.5) > 1e-6 for v in opt_vals), opt_vals
+    obj_opt = L_BFGS_B_optimize.make_obj_fn(
+        opt, bt, bnt, cw, pw,
+        batch_features=batch_features, loss_fn=lool_fn,
+    )
+    val_opt = float(
+        obj_opt(**{f"length_scale{i}": opt_vals[i] for i in range(knot_count)})
+    )
+    assert val_opt >= val, (val, val_opt)

@@ -287,4 +287,7 @@ class TestShearOptimization:
             loss_fn=mse_fn,
         )
         ls = float(opt.kernel.deformation.length_scale())
-        assert ((ls_true - ls) / ls_true) ** 2 < 9e-1, f"ls={ls}"
+        # the optimizer must actually move toward the truth, not just stay
+        # inside bounds: closer than the 0.15 init and within 25% sq-rel-err
+        assert abs(ls - ls_true) < abs(0.15 - ls_true), f"ls={ls}"
+        assert ((ls_true - ls) / ls_true) ** 2 < 2.5e-1, f"ls={ls}"
