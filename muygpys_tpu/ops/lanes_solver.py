@@ -1,0 +1,93 @@
+"""Layout-optimized batched Cholesky solver: batch on the LANE axis.
+
+XLA's batched Cholesky/LU custom calls process ``(B, n, n)`` tensors one
+small matrix per MXU/VPU invocation; for n ~ 30 the (n, n) trailing tile
+wastes ~4/5 of every (8, 128) register tile and the custom call dominates the
+serve path (measured 43–85 ms per (8192, 30, 30) batch on v5e).
+
+This module stores the batch on the LAST axis — ``K (n, n, B)`` — so every
+step of an unrolled right-looking Cholesky and the triangular substitutions
+is a full-width ``(., B)`` vector op.  Measured 8 ms for the same workload:
+~5x over XLA Cholesky, ~10x over LU.  This is the fused-batched-solver design
+the TPU wants, expressed in pure XLA (a Pallas port would fuse the kernel
+evaluation into the same pass; see PERF.md).
+
+Unrolled Python loops mean the jaxpr grows with n — intended for the serve
+path where n = nn_count <= ~64 and the program is compiled once.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def cholesky_bl(K: jnp.ndarray) -> jnp.ndarray:
+    """Lower Cholesky factor of SPD ``K`` with shape ``(n, n, B)``."""
+    n = K.shape[0]
+    cols = []
+    for j in range(n):
+        c = K[:, j, :]  # (n, B)
+        if j > 0:
+            Lj = jnp.stack([cols[k][j] for k in range(j)])  # (j, B)
+            Lpre = jnp.stack(cols, axis=1)  # (n, j, B)
+            c = c - jnp.einsum("ikb,kb->ib", Lpre, Lj)
+        d = jnp.sqrt(c[j])
+        col = c / d
+        mask = (jnp.arange(n) >= j)[:, None]
+        cols.append(jnp.where(mask, col, 0.0))
+    return jnp.stack(cols, axis=1)  # (n, n, B)
+
+
+def tri_solve_fwd_bl(L: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
+    """Solve ``L z = R`` with lower ``L (n, n, B)`` and ``R (n, r, B)``."""
+    n = L.shape[0]
+    zs = []
+    for j in range(n):
+        acc = R[j]  # (r, B)
+        if j > 0:
+            Lrow = jnp.stack([L[j, k] for k in range(j)])  # (j, B)
+            Z = jnp.stack(zs)  # (j, r, B)
+            acc = acc - jnp.einsum("kb,krb->rb", Lrow, Z)
+        zs.append(acc / L[j, j])
+    return jnp.stack(zs)  # (n, r, B)
+
+
+def tri_solve_bwd_bl(L: jnp.ndarray, Z: jnp.ndarray) -> jnp.ndarray:
+    """Solve ``L^T x = Z`` with lower ``L (n, n, B)`` and ``Z (n, r, B)``."""
+    n = L.shape[0]
+    xs = [None] * n
+    for j in reversed(range(n)):
+        acc = Z[j]
+        ks = list(range(j + 1, n))
+        if ks:
+            Lcol = jnp.stack([L[k, j] for k in ks])  # (m, B)
+            X = jnp.stack([xs[k] for k in ks])  # (m, r, B)
+            acc = acc - jnp.einsum("kb,krb->rb", Lcol, X)
+        xs[j] = acc / L[j, j]
+    return jnp.stack(xs)
+
+
+def solve_bl(K: jnp.ndarray, R: jnp.ndarray) -> jnp.ndarray:
+    """``K^{-1} R`` for SPD ``K (n, n, B)`` and ``R (n, r, B)``."""
+    L = cholesky_bl(K)
+    return tri_solve_bwd_bl(L, tri_solve_fwd_bl(L, R))
+
+
+def serve_mean_and_variance_bl(
+    Kin: jnp.ndarray,
+    Kcross: jnp.ndarray,
+    Kout,
+    nn_targets: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused posterior mean + variance in batch-last layout.
+
+    Args: ``Kin (n, n, B)``, ``Kcross (n, B)``, ``nn_targets (n, r, B)``.
+    Returns mean ``(r, B)`` and variance ``(B,)``.
+    """
+    rhs = jnp.concatenate([Kcross[:, None, :], nn_targets], axis=1)
+    sol = solve_bl(Kin, rhs)  # (n, 1+r, B)
+    mean = jnp.einsum("nb,nrb->rb", Kcross, sol[:, 1:, :])
+    var = Kout - jnp.einsum("nb,nb->b", Kcross, sol[:, 0, :])
+    return mean, var

@@ -134,3 +134,68 @@ def test_scale_recovery(draws):
         errs.append(_sq_rel_err(1.0, float(model.scale())))
         assert model.scale.trained
     assert np.mean(errs) < SCALE_TOL, f"errors={errs}"
+
+
+def test_anisotropic_length_scale_recovery(rng):
+    """BASELINE config 2: 2D anisotropic regression with per-dimension
+    length-scale optimization.  Sample from a GP with distinct per-axis
+    scales and recover both via jit+grad L-BFGS-B."""
+    from muygpys_tpu._test import oracle
+    from muygpys_tpu.gp.deformation import Anisotropy
+    from muygpys_tpu.gp.hyperparameter import VectorParameter
+
+    true_ls = np.array([0.05, 0.4])
+    n_per, its = 24, 3
+    g = np.meshgrid(np.linspace(0, 1, n_per), np.linspace(0, 1, n_per))
+    x = np.stack([g[0].ravel(), g[1].ravel()], axis=1)
+    n = x.shape[0]
+
+    # dense anisotropic GP draw: scale each axis, then unit-Matern
+    x_scaled = x / true_ls
+    d = np.linalg.norm(
+        x_scaled[:, None, :] - x_scaled[None, :, :], axis=-1
+    )
+    K = oracle.matern(d, 1.5) + 1e-8 * np.eye(n)
+    L = np.linalg.cholesky(K)
+
+    nn = 16
+    dmat = np.linalg.norm(x[:, None] - x[None], axis=-1)
+    bni_all = np.argsort(dmat, axis=1)[:, 1 : nn + 1]
+    bi = rng.choice(n, 300, replace=False)
+    bni = bni_all[bi]
+
+    errs = np.zeros((its, 2))
+    for t in range(its):
+        y = (L @ rng.standard_normal(n))[:, None]
+        y += 1e-3 * rng.standard_normal((n, 1))
+        model = MuyGPS(
+            kernel=Matern(
+                smoothness=Parameter(NU),
+                deformation=Anisotropy(
+                    l2,
+                    VectorParameter(
+                        Parameter(0.2, (0.01, 1.0)),
+                        Parameter(0.2, (0.01, 1.0)),
+                    ),
+                ),
+            ),
+            noise=HomoscedasticNoise(1e-3),
+            scale=AnalyticScale(),
+        )
+        cw, pw, bt, bnt = model.make_train_tensors(
+            bi, bni, jnp.asarray(x), jnp.asarray(y)
+        )
+        opt = L_BFGS_B_optimize(model, bt, bnt, cw, pw, loss_fn=lool_fn)
+        got = np.array(
+            [
+                float(opt.kernel._hyperparameters["length_scale0"]()),
+                float(opt.kernel._hyperparameters["length_scale1"]()),
+            ]
+        )
+        errs[t] = ((true_ls - got) / true_ls) ** 2
+        recovered = got if t == 0 else recovered + got
+    mean_errs = errs.mean(axis=0)
+    assert np.all(mean_errs < LS_TOL), f"per-dim errors={mean_errs}"
+    # the optimizer must separate the two axes (true ratio is 8x)
+    mean_recovered = recovered / its
+    assert mean_recovered[1] > 2.0 * mean_recovered[0], mean_recovered

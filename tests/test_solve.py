@@ -197,3 +197,49 @@ class TestServePath:
             mean, oracle.posterior_mean(Kin, Kcross, y[:, :, 0:1])[:, 0],
             rtol=1e-9, atol=1e-11,
         )
+
+
+class TestLanesSolver:
+    """Batch-last layout solver (ops/lanes_solver.py) vs the numpy oracle."""
+
+    def test_solve_bl_matches_oracle(self, spd_problem):
+        from muygpys_tpu.ops import lanes_solver as ls
+
+        Kin, Kcross, y = spd_problem
+        K_bl = jnp.asarray(np.transpose(Kin, (1, 2, 0)))
+        R = np.concatenate([Kcross[:, :, None], y], axis=-1)
+        R_bl = jnp.asarray(np.transpose(R, (1, 2, 0)))
+        sol = np.transpose(np.asarray(ls.solve_bl(K_bl, R_bl)), (2, 0, 1))
+        want = np.linalg.solve(Kin, R)
+        np.testing.assert_allclose(sol, want, rtol=1e-9, atol=1e-11)
+
+    def test_cholesky_bl(self, spd_problem):
+        from muygpys_tpu.ops import lanes_solver as ls
+
+        Kin, _, _ = spd_problem
+        L = np.transpose(
+            np.asarray(ls.cholesky_bl(jnp.asarray(np.transpose(Kin, (1, 2, 0))))),
+            (2, 0, 1),
+        )
+        np.testing.assert_allclose(
+            L, np.linalg.cholesky(Kin), rtol=1e-9, atol=1e-11
+        )
+
+    def test_serve_bl_matches_standard(self, spd_problem):
+        from muygpys_tpu.ops import lanes_solver as ls
+
+        Kin, Kcross, y = spd_problem
+        mean_std, var_std = solve.serve_mean_and_variance(
+            jnp.asarray(Kin), jnp.asarray(Kcross), jnp.asarray(1.0),
+            jnp.asarray(y),
+        )
+        mean_bl, var_bl = ls.serve_mean_and_variance_bl(
+            jnp.asarray(np.transpose(Kin, (1, 2, 0))),
+            jnp.asarray(Kcross.T),
+            jnp.asarray(1.0),
+            jnp.asarray(np.transpose(y, (1, 2, 0))),
+        )
+        np.testing.assert_allclose(
+            np.asarray(mean_bl).T, mean_std, rtol=1e-9, atol=1e-11
+        )
+        np.testing.assert_allclose(var_bl, var_std, rtol=1e-9, atol=1e-11)
