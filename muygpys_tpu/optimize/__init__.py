@@ -19,6 +19,7 @@ from muygpys_tpu.optimize.loss import (
     mse_fn,
     pseudo_huber_fn,
 )
+from muygpys_tpu.optimize.fast_objective import make_fast_loo_objective
 from muygpys_tpu.optimize.objective import make_loo_crossval_fn
 
 __all__ = [
@@ -33,6 +34,7 @@ __all__ = [
     "lool_fn",
     "lool_fn_unscaled",
     "looph_fn",
+    "make_fast_loo_objective",
     "make_loo_crossval_fn",
     "mse_fn",
     "pseudo_huber_fn",

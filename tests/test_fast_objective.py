@@ -1,0 +1,129 @@
+"""Lane-layout fast LOO objective: must match the generic objective exactly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from muygpys_tpu._test.sampler import UnivariateSampler
+from muygpys_tpu.gp import MuyGPS
+from muygpys_tpu.gp.deformation import Anisotropy, F2, Isotropy, l2
+from muygpys_tpu.gp.hyperparameter import (
+    AnalyticScale,
+    Parameter,
+    VectorParameter,
+)
+from muygpys_tpu.gp.kernels import Matern, RBF
+from muygpys_tpu.gp.noise import HomoscedasticNoise, NullNoise
+from muygpys_tpu.neighbors import NN_Wrapper
+from muygpys_tpu.optimize import (
+    L_BFGS_B_optimize,
+    lool_fn,
+    mse_fn,
+    sample_batch,
+)
+from muygpys_tpu.optimize.fast_objective import make_fast_loo_objective
+
+
+@pytest.fixture(scope="module")
+def problem(rng):
+    sampler = UnivariateSampler(
+        data_count=500, train_ratio=0.5, nu=1.5, length_scale=0.05,
+        measurement_noise=1e-3, rng=rng,
+    )
+    xtr, _ = sampler.features()
+    ytr, _ = sampler.sample()
+    nbrs = NN_Wrapper(xtr, 16, nn_method="exact")
+    bi, bni = sample_batch(nbrs, 128, xtr.shape[0], rng=rng)
+    return xtr, ytr, bi, bni
+
+
+def _model(nu, free_nu=False):
+    return MuyGPS(
+        kernel=Matern(
+            smoothness=(
+                Parameter(nu, (0.3, 3.0)) if free_nu else Parameter(nu)
+            ),
+            deformation=Isotropy(l2, length_scale=Parameter(0.3, (0.01, 1.0))),
+        ),
+        noise=HomoscedasticNoise(1e-3, (1e-5, 1e-1)),
+        scale=AnalyticScale(),
+    )
+
+
+@pytest.mark.parametrize("nu,free_nu", [(1.5, False), (0.9, True)])
+@pytest.mark.parametrize("loss_name", ["lool", "mse"])
+def test_matches_generic_objective(problem, nu, free_nu, loss_name):
+    xtr, ytr, bi, bni = problem
+    model = _model(nu, free_nu)
+    cw, pw, bt, bnt = model.make_train_tensors(
+        bi, bni, jnp.asarray(xtr), jnp.asarray(ytr)
+    )
+    generic = L_BFGS_B_optimize.make_obj_fn(
+        model, bt, bnt, cw, pw,
+        loss_fn=lool_fn if loss_name == "lool" else mse_fn,
+    )
+    fast, names = make_fast_loo_objective(
+        model, bt, bnt, cw, pw, loss=loss_name
+    )
+    params = {"length_scale": 0.21, "noise": 3e-3}
+    if free_nu:
+        params["smoothness"] = 1.1
+        assert "smoothness" in names
+    v_gen = float(generic(**params))
+    v_fast = float(fast(params))
+    np.testing.assert_allclose(v_fast, v_gen, rtol=1e-9)
+
+    g_gen = jax.grad(lambda p: generic(**p))(params)
+    g_fast = jax.grad(fast)(params)
+    for k in params:
+        np.testing.assert_allclose(
+            float(g_fast[k]), float(g_gen[k]), rtol=1e-8, atol=1e-10
+        )
+
+
+def test_rbf_support(problem):
+    xtr, ytr, bi, bni = problem
+    model = MuyGPS(
+        kernel=RBF(
+            deformation=Isotropy(F2, length_scale=Parameter(0.3, (0.01, 1.0)))
+        ),
+        noise=HomoscedasticNoise(1e-3),
+        scale=AnalyticScale(),
+    )
+    cw, pw, bt, bnt = model.make_train_tensors(
+        bi, bni, jnp.asarray(xtr), jnp.asarray(ytr)
+    )
+    generic = L_BFGS_B_optimize.make_obj_fn(
+        model, bt, bnt, cw, pw, loss_fn=lool_fn
+    )
+    fast, _ = make_fast_loo_objective(model, bt, bnt, cw, pw)
+    np.testing.assert_allclose(
+        float(fast({"length_scale": 0.4})),
+        float(generic(length_scale=0.4)),
+        rtol=1e-9,
+    )
+
+
+def test_rejects_unsupported(problem):
+    xtr, ytr, bi, bni = problem
+    aniso = MuyGPS(
+        kernel=Matern(
+            smoothness=Parameter(1.5),
+            deformation=Anisotropy(
+                l2, VectorParameter(Parameter(0.3), Parameter(0.3))
+            ),
+        ),
+        noise=HomoscedasticNoise(1e-3),
+    )
+    with pytest.raises(ValueError, match="isotropic"):
+        make_fast_loo_objective(aniso, None, None, None, None)
+    null_noise = MuyGPS(
+        kernel=Matern(
+            smoothness=Parameter(1.5),
+            deformation=Isotropy(l2, length_scale=Parameter(0.3)),
+        ),
+        noise=NullNoise(),
+    )
+    with pytest.raises(ValueError, match="homoscedastic"):
+        make_fast_loo_objective(null_noise, None, None, None, None)
