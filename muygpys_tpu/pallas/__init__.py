@@ -1,0 +1,3 @@
+from muygpys_tpu.pallas.fused_predict import fused_predict_bl
+
+__all__ = ["fused_predict_bl"]
