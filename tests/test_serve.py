@@ -1,0 +1,141 @@
+"""FastServer: all engines must agree with the reference predict chain."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from muygpys_tpu.gp import MuyGPS
+from muygpys_tpu.gp.deformation import F2, Isotropy, l2
+from muygpys_tpu.gp.hyperparameter import FixedScale, Parameter
+from muygpys_tpu.gp.kernels import Matern, RBF
+from muygpys_tpu.gp.noise import HomoscedasticNoise, NullNoise
+from muygpys_tpu.neighbors import NN_Wrapper
+from muygpys_tpu.serve import FastServer
+
+
+@pytest.fixture(scope="module")
+def problem(rng):
+    xtr = rng.uniform(size=(300, 3))
+    ytr = rng.standard_normal((300, 1))
+    xte = rng.uniform(size=(130, 3))
+    return xtr, ytr, xte
+
+
+def _model(nu=1.5, scale_val=2.0):
+    scale = FixedScale()
+    scale._set(scale_val)
+    return MuyGPS(
+        kernel=Matern(
+            smoothness=Parameter(nu),
+            deformation=Isotropy(l2, length_scale=Parameter(0.5)),
+        ),
+        noise=HomoscedasticNoise(1e-3),
+        scale=scale,
+    )
+
+
+def _reference_predict(model, xtr, ytr, xte, nbrs):
+    nn_idx, _ = nbrs.get_nns(xte)
+    cw, pw, bnt = model.make_predict_tensors(
+        np.arange(xte.shape[0]), nn_idx, jnp.asarray(xte),
+        jnp.asarray(xtr), jnp.asarray(ytr),
+    )
+    Kin = model.kernel(pw)
+    Kcross = model.kernel(cw)
+    mean = np.asarray(model.posterior_mean(Kin, Kcross, bnt))
+    var = np.asarray(model.posterior_variance(Kin, Kcross))
+    return mean, var
+
+
+@pytest.mark.parametrize("engine", ["lanes", "reference"])
+@pytest.mark.parametrize("nu", [0.5, 1.5, 2.5])
+def test_engines_match_reference_chain(problem, engine, nu):
+    xtr, ytr, xte = problem
+    model = _model(nu)
+    nbrs = NN_Wrapper(xtr, 12, nn_method="exact")
+    server = FastServer(model, nbrs, xtr, ytr, bucket=64, engine=engine)
+    mean, var = server.predict(xte)
+    mean_ref, var_ref = _reference_predict(model, xtr, ytr, xte, nbrs)
+    assert mean.shape == (130, 1)
+    assert var.shape == (130,)
+    # engines use algebraically-equal but differently-ordered solves;
+    # agreement is conditioning-limited (worst for nu=0.5)
+    np.testing.assert_allclose(mean, mean_ref, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(var, var_ref, rtol=1e-5, atol=1e-8)
+
+
+def test_pallas_engine_interprets(problem, monkeypatch):
+    """pallas engine path on CPU via interpret-mode kernel."""
+    import muygpys_tpu.serve as serve_mod
+    from muygpys_tpu.pallas import fused_predict as fp
+
+    orig = fp.fused_predict_bl
+
+    def interp(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(
+        "muygpys_tpu.pallas.fused_predict.fused_predict_bl", interp
+    )
+    xtr, ytr, xte = problem
+    model = _model(1.5)
+    nbrs = NN_Wrapper(xtr, 12, nn_method="exact")
+    server = FastServer(model, nbrs, xtr, ytr, bucket=64, engine="pallas")
+    mean, var = server.predict(xte[:40])
+    mean_ref, var_ref = _reference_predict(
+        model, xtr, ytr, xte[:40], nbrs
+    )
+    np.testing.assert_allclose(mean, mean_ref, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(var, var_ref, rtol=1e-8, atol=1e-10)
+
+
+def test_multivariate_lanes(problem, rng):
+    xtr, _, xte = problem
+    ytr = rng.standard_normal((300, 3))
+    model = _model(1.5)
+    nbrs = NN_Wrapper(xtr, 12, nn_method="exact")
+    server = FastServer(model, nbrs, xtr, ytr, bucket=64, engine="lanes")
+    mean, var = server.predict(xte)
+    assert mean.shape == (130, 3)
+    mean_ref, _ = _reference_predict(model, xtr, ytr, xte, nbrs)
+    np.testing.assert_allclose(mean, mean_ref, rtol=1e-8, atol=1e-10)
+
+
+def test_validation(problem):
+    xtr, ytr, _ = problem
+    nbrs = NN_Wrapper(xtr, 12, nn_method="exact")
+    with pytest.raises(ValueError, match="homoscedastic"):
+        FastServer(
+            MuyGPS(
+                kernel=Matern(
+                    smoothness=Parameter(1.5),
+                    deformation=Isotropy(l2, length_scale=Parameter(0.5)),
+                ),
+                noise=NullNoise(),
+            ),
+            nbrs, xtr, ytr,
+        )
+    with pytest.raises(ValueError, match="nu=1.5"):
+        FastServer(_model(2.5), nbrs, xtr, ytr, engine="pallas")
+    with pytest.raises(ValueError, match="unknown engine"):
+        FastServer(_model(), nbrs, xtr, ytr, engine="warp")
+
+
+def test_rbf_engine(problem):
+    xtr, ytr, xte = problem
+    scale = FixedScale()
+    scale._set(1.3)
+    model = MuyGPS(
+        kernel=RBF(
+            deformation=Isotropy(F2, length_scale=Parameter(0.5))
+        ),
+        noise=HomoscedasticNoise(1e-3),
+        scale=scale,
+    )
+    nbrs = NN_Wrapper(xtr, 12, nn_method="exact")
+    server = FastServer(model, nbrs, xtr, ytr, bucket=64, engine="lanes")
+    mean, var = server.predict(xte)
+    mean_ref, var_ref = _reference_predict(model, xtr, ytr, xte, nbrs)
+    np.testing.assert_allclose(mean, mean_ref, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(var, var_ref, rtol=1e-8, atol=1e-10)
