@@ -91,12 +91,11 @@ class FastServer:
             self._nu = float(muygps.kernel.smoothness())
             self._is_rbf = False
         if engine == "pallas":
-            if self._is_rbf or self._nu != 1.5:
+            if self._is_rbf or self._nu not in (0.5, 1.5, 2.5, math.inf):
                 raise ValueError(
-                    "pallas engine currently supports Matern nu=1.5"
+                    "pallas engine supports Matern nu in "
+                    "{0.5, 1.5, 2.5, inf}"
                 )
-            if self._response_count != 1:
-                raise ValueError("pallas engine is univariate")
 
         self._predict_fn = self._build()
 
@@ -167,13 +166,16 @@ class FastServer:
 
             tile = int(math.gcd(self.bucket, 512))
 
+            nu = self._nu
+
             @jax.jit
             def predict(queries, nn_idx):
                 pw, cw, y = assemble_bl(queries, nn_idx)
                 mean, var = fused_predict_bl(
-                    pw, cw, y[:, 0, :], self._ls, noise, batch_tile=tile
+                    pw, cw, y, self._ls, noise, smoothness=nu,
+                    batch_tile=tile,
                 )
-                return mean[:, None], scale * var  # (B, 1), (B,)
+                return mean.T, scale * var  # (B, r), (B,)
 
         elif self.engine == "lanes":
 

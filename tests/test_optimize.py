@@ -99,9 +99,10 @@ def test_smoothness_recovery(draws):
     """Recover smoothness with length scale fixed at truth, via exact
     gradients through the general-nu Bessel path.  (Jointly, (ls, nu) sit on
     a likelihood ridge and are not separately identifiable — the reference
-    likewise recovers them in separate test cases.)"""
+    likewise recovers them in separate test cases.)  3 draws: each run
+    compiles a fresh Bessel-grad closure, the costliest compile in CI."""
     nu_errs = []
-    for _, (cw, pw, bt, bnt) in draws:
+    for _, (cw, pw, bt, bnt) in draws[:3]:
         free_model = MuyGPS(
             kernel=Matern(
                 smoothness=Parameter(0.8, (0.3, 3.0)),
