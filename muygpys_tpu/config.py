@@ -72,3 +72,26 @@ def itype():
     import jax.numpy as jnp
 
     return jnp.int32
+
+
+def parse_flags(argv=None):
+    """Consume ``--muygpys_*`` command-line flags (reference parity with the
+    absl integration, reference _src/config.py:23-39).
+
+    Recognized: ``--muygpys_ftype={32,64}``.  Returns the remaining argv.
+    """
+    import sys
+
+    args = list(sys.argv[1:] if argv is None else argv)
+    remaining = []
+    for arg in args:
+        if arg.startswith("--muygpys_ftype"):
+            val = arg.split("=", 1)[1] if "=" in arg else None
+            if val is None:
+                raise ValueError("--muygpys_ftype requires =32 or =64")
+            update("ftype", val)
+        elif arg.startswith("--muygpys_"):
+            raise ValueError(f"unknown flag {arg.split('=')[0]!r}")
+        else:
+            remaining.append(arg)
+    return remaining

@@ -247,3 +247,55 @@ class TestBenchmarkHarness:
 
         t = benchmark_fn(lambda x: jnp.sum(x * x), jnp.ones(100), iters=3)
         assert t > 0
+
+
+class TestConfig:
+    def test_parse_flags(self):
+        import jax
+        from muygpys_tpu import config
+
+        before = config.state.ftype
+        rest = config.parse_flags(["--muygpys_ftype=64", "positional"])
+        assert rest == ["positional"]
+        assert config.state.ftype == 64
+        assert jax.config.jax_enable_x64
+        config.update("ftype", before)
+        # restore x64 for the remainder of the CPU test session
+        jax.config.update("jax_enable_x64", True)
+
+    def test_parse_flags_rejects_unknown(self):
+        from muygpys_tpu import config
+
+        with pytest.raises(ValueError, match="unknown flag"):
+            config.parse_flags(["--muygpys_backend=torch"])
+
+
+class TestDownSampleScale:
+    def test_downsample_estimates_scale(self, rng):
+        from muygpys_tpu.gp.deformation import Isotropy, l2
+        from muygpys_tpu.gp.hyperparameter import DownSampleScale, Parameter
+        from muygpys_tpu.gp.kernels import Matern
+        from muygpys_tpu.gp.noise import HomoscedasticNoise
+        from muygpys_tpu._test import oracle
+
+        n, nn = 200, 20
+        x = rng.uniform(size=(n, 1))
+        y = 3.0 * oracle.dense_gp_sample(rng, x, 1.5, 0.2, 1e-8)
+        model = MuyGPS(
+            kernel=Matern(
+                smoothness=Parameter(1.5),
+                deformation=Isotropy(l2, length_scale=Parameter(0.2)),
+            ),
+            noise=HomoscedasticNoise(1e-4),
+            scale=DownSampleScale(down_count=10, iteration_count=8),
+        )
+        d = np.linalg.norm(x[:, None] - x[None], axis=-1)
+        bni = np.argsort(d, axis=1)[:, 1 : nn + 1]
+        _, pw, _, bnt = model.make_train_tensors(
+            np.arange(n), bni, jnp.asarray(x), jnp.asarray(y)
+        )
+        model.optimize_scale(pw, bnt)
+        got = float(np.asarray(model.scale()))
+        # prior variance of the draw is 9; downsampled median is coarse
+        assert 2.0 < got < 40.0, got
+        assert model.scale.trained
