@@ -1,17 +1,20 @@
 """Headline benchmark: posterior predictions/sec on one chip.
 
-Times the fused batched nearest-neighborhood serve path — Matern kernel ->
-nugget -> batched Cholesky -> posterior mean and variance — in the
-framework's lane-optimized batch-last layout
-(:mod:`muygpys_tpu.ops.lanes_solver`; see PERF.md for the layout story).
+Times the fused nearest-neighborhood serve path — Matern kernel -> nugget ->
+batched Cholesky -> posterior mean and variance — preferring the single
+fused Pallas kernel (:mod:`muygpys_tpu.pallas.fused_predict`) and falling
+back to the lane-layout XLA program (:mod:`muygpys_tpu.ops.lanes_solver`)
+if the Pallas executable is not already cached.  Mosaic compilation of the
+Pallas kernel costs ~10 minutes cold through the remote-compile tunnel, so
+this script first probes compile time in a subprocess with a timeout; the
+repo ships a persistent compilation cache (.jax_cache, created by
+``scripts/warm_pallas_cache.py``) that makes the probe a few-second cache
+hit in the expected case.
 
-Timing methodology (this environment's quirks make the usual idiom lie):
-- ``jax.block_until_ready`` does NOT block through the axon relay, so every
-  sample is synced by materializing a scalar on the host.
-- Each executable round-trips the relay (~33 ms fixed), so iteration happens
-  INSIDE one jitted program via ``lax.fori_loop`` (inputs perturbed per
-  iteration to prevent loop-invariant hoisting); per-iteration time is the
-  difference between an N-iteration and a 1-iteration program.
+Timing methodology (honest in-loop protocol; details in PERF.md and
+:mod:`muygpys_tpu.performance.headline`): iterate inside one jitted
+``lax.fori_loop`` with per-iteration input perturbation, subtract a
+1-iteration program, sync by materializing a scalar on the host.
 
 Baseline: the reference publishes no numbers (BASELINE.md); the driver's
 north-star target is >= 1e6 predictions/sec on a v5e-8 (8 chips), i.e. a
@@ -21,76 +24,59 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
-import time
+import os
+import subprocess
+import sys
 
-import numpy as np
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+PROBE_TIMEOUT_S = 240
+
+
+def _pallas_available() -> bool:
+    """Compile the Pallas loop programs in a subprocess with a timeout.
+
+    A cache hit (persistent .jax_cache or the remote-compile service's own
+    cache) takes seconds; a cold Mosaic compile takes ~10 min and we don't
+    gamble the bench run on it.  On success the caches are warm, so the
+    in-process compile below is fast either way.
+    """
+    code = (
+        "import muygpys_tpu.performance.headline as h;"
+        f"h.enable_persistent_cache({REPO_ROOT!r});"
+        "h.compile_loops(h.pallas_loop, h.make_inputs());"
+        "print('PALLAS_OK')"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=PROBE_TIMEOUT_S,
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=REPO_ROOT,
+        )
+        return "PALLAS_OK" in out.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
+    sys.path.insert(0, REPO_ROOT)
+    from muygpys_tpu.performance import headline as h
 
-    from muygpys_tpu.ops import kernels as k
-    from muygpys_tpu.ops.lanes_solver import serve_mean_and_variance_bl
+    h.enable_persistent_cache(REPO_ROOT)
+    inputs = h.make_inputs()
 
-    batch, nn = 8192, 30
-    dtype = jnp.float32
-    rng = np.random.default_rng(0)
+    if _pallas_available():
+        best = h.measure(h.pallas_loop, inputs)
+    else:
+        best = h.measure(h.xla_loop, inputs)
 
-    # realistic distance tensors from 1D neighborhoods, batch-last layout
-    pts = np.sort(rng.uniform(size=(batch, nn)), axis=1)
-    pairwise = np.abs(pts[:, :, None] - pts[:, None, :]).transpose(1, 2, 0)
-    crosswise = np.abs(rng.uniform(size=(batch, 1)) - pts).T
-    targets = rng.standard_normal((batch, nn, 1)).transpose(1, 2, 0)
-
-    cw = jnp.asarray(crosswise, dtype)  # (nn, B)
-    pw = jnp.asarray(pairwise, dtype)  # (nn, nn, B)
-    y = jnp.asarray(targets, dtype)  # (nn, 1, B)
-    eye_bl = jnp.eye(nn, dtype=dtype)[:, :, None]
-
-    def predict(cw_, pw_, y_):
-        Kin = k.matern_15_fn(pw_ / 0.5) + 1e-3 * eye_bl
-        Kcross = k.matern_15_fn(cw_ / 0.5)
-        mean, var = serve_mean_and_variance_bl(
-            Kin, Kcross, jnp.asarray(1.0, dtype), y_
-        )
-        return jnp.sum(mean) + jnp.sum(var)
-
-    def make_loop(iters):
-        @jax.jit
-        def loop(cw_, pw_, y_):
-            # perturb pw per iteration: keeps kernel eval + Cholesky inside
-            # the loop (a loop-invariant Kin would let XLA hoist the
-            # factorization and overstate throughput)
-            return lax.fori_loop(
-                0,
-                iters,
-                lambda i, acc: acc + predict(
-                    cw_, pw_ * (1.0 + 1e-9 * i), y_
-                ),
-                jnp.asarray(0.0, dtype),
-            )
-
-        return loop
-
-    iters = 40
-    loop1, loopN = make_loop(1), make_loop(iters + 1)
-    # warm/compile (host-sync via scalar materialization)
-    float(np.asarray(loop1(cw, pw, y)))
-    float(np.asarray(loopN(cw, pw, y)))
-
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(np.asarray(loop1(cw, pw, y)))
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(np.asarray(loopN(cw, pw, y)))
-        tN = time.perf_counter() - t0
-        best = min(best, (tN - t1) / iters)
-
-    preds_per_sec = batch / best
+    preds_per_sec = h.BATCH / best
     print(
         json.dumps(
             {

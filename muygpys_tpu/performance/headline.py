@@ -1,0 +1,147 @@
+"""Headline serve-path benchmark programs, shared by bench.py and the
+cache-warming script.
+
+The measured program iterates INSIDE one jitted ``lax.fori_loop`` (inputs
+perturbed each iteration so XLA cannot hoist the kernel eval or the Cholesky
+out of the loop) and is synced by materializing a scalar on the host; see
+PERF.md for why the usual ``block_until_ready`` idiom lies through the axon
+relay.  Per-iteration time = (N-iter program - 1-iter program) / (N - 1).
+
+Two formulations of the same fused serve math (Matern(3/2) kernel -> nugget
+-> batched Cholesky -> posterior mean + variance):
+
+- ``xla``:    batch-last XLA program (:mod:`muygpys_tpu.ops.lanes_solver`).
+- ``pallas``: single fused Pallas kernel
+  (:mod:`muygpys_tpu.pallas.fused_predict`) — ~12x the XLA version, but its
+  Mosaic compile costs ~10 min through the remote-compile tunnel when cold.
+  Both bench.py and scripts/warm_pallas_cache.py build their loop programs
+  from THIS module so the persistent compilation cache (keyed on the whole
+  jitted program) hits.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+BATCH, NN = 8192, 30
+ITERS = 200
+LENGTH_SCALE = 0.5
+NOISE = 1e-3
+SMOOTHNESS = 1.5
+BATCH_TILE = 512
+CACHE_DIR = ".jax_cache"  # resolved against the repo root by callers
+
+
+def enable_persistent_cache(repo_root: str) -> None:
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(repo_root, CACHE_DIR)
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def make_inputs():
+    """Batch-last distance tensors from 1D neighborhoods (f32)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    pts = np.sort(rng.uniform(size=(BATCH, NN)), axis=1)
+    pairwise = np.abs(pts[:, :, None] - pts[:, None, :]).transpose(1, 2, 0)
+    crosswise = np.abs(rng.uniform(size=(BATCH, 1)) - pts).T
+    targets = rng.standard_normal((NN, 1, BATCH))
+    return (
+        jnp.asarray(crosswise, jnp.float32),  # (nn, B)
+        jnp.asarray(pairwise, jnp.float32),  # (nn, nn, B)
+        jnp.asarray(targets, jnp.float32),  # (nn, 1, B)
+    )
+
+
+def _loop(predict, iters):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def loop(cw, pw, y):
+        # perturb pw per iteration: a loop-invariant Kin would let XLA hoist
+        # the kernel eval + factorization and overstate throughput
+        return lax.fori_loop(
+            0,
+            iters,
+            lambda i, acc: acc + predict(cw, pw * (1.0 + 1e-9 * i), y),
+            jnp.asarray(0.0, jnp.float32),
+        )
+
+    return loop
+
+
+def xla_loop(iters):
+    import jax.numpy as jnp
+
+    from muygpys_tpu.ops import kernels as k
+    from muygpys_tpu.ops.lanes_solver import serve_mean_and_variance_bl
+
+    eye_bl = jnp.eye(NN, dtype=jnp.float32)[:, :, None]
+
+    def predict(cw, pw, y):
+        Kin = k.matern_15_fn(pw / LENGTH_SCALE) + NOISE * eye_bl
+        Kcross = k.matern_15_fn(cw / LENGTH_SCALE)
+        mean, var = serve_mean_and_variance_bl(
+            Kin, Kcross, jnp.asarray(1.0, jnp.float32), y
+        )
+        return jnp.sum(mean) + jnp.sum(var)
+
+    return _loop(predict, iters)
+
+
+def pallas_loop(iters):
+    import jax.numpy as jnp
+
+    from muygpys_tpu.pallas.fused_predict import fused_predict_bl
+
+    def predict(cw, pw, y):
+        mean, var = fused_predict_bl(
+            pw,
+            cw,
+            y,
+            length_scale=LENGTH_SCALE,
+            noise=NOISE,
+            smoothness=SMOOTHNESS,
+            batch_tile=BATCH_TILE,
+        )
+        return jnp.sum(mean) + jnp.sum(var)
+
+    return _loop(predict, iters)
+
+
+def compile_loops(loop_factory, inputs):
+    """Compile + run the 1-iter and N-iter programs (host-synced)."""
+    loop1, loopN = loop_factory(1), loop_factory(ITERS + 1)
+    float(np.asarray(loop1(*inputs)))
+    float(np.asarray(loopN(*inputs)))
+    return loop1, loopN
+
+
+def measure(loop_factory, inputs, repeats: int = 5) -> float:
+    """Per-iteration seconds, honest in-loop protocol.
+
+    Aggregates min(t_N) - min(t_1) over ``repeats`` rather than
+    min(t_N - t_1): relay jitter of a few ms on t_1 would otherwise
+    fabricate throughput (each program's floor is its true cost; paired
+    differences are corrupted by unpaired noise).
+    """
+    loop1, loopN = compile_loops(loop_factory, inputs)
+    best1 = bestN = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(np.asarray(loop1(*inputs)))
+        best1 = min(best1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(np.asarray(loopN(*inputs)))
+        bestN = min(bestN, time.perf_counter() - t0)
+    return (bestN - best1) / ITERS

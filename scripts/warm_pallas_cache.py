@@ -1,0 +1,34 @@
+"""Pre-compile the headline Pallas loop programs into the persistent cache.
+
+Mosaic compilation of the unrolled fused-predict kernel costs ~10 minutes
+through the remote-compile tunnel (PERF.md).  This script pays that cost
+once and stores the executables in the repo-local persistent compilation
+cache (``<repo>/.jax_cache``) so that ``bench.py`` — run later, in a fresh
+process — hits the cache and uses the Pallas path as the headline.
+
+The loop programs are built from :mod:`muygpys_tpu.performance.headline`,
+the SAME module bench.py uses, because the cache is keyed on the whole
+jitted program.
+
+Usage: PYTHONPATH=<repo> python scripts/warm_pallas_cache.py
+"""
+
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+from muygpys_tpu.performance import headline as h  # noqa: E402
+
+
+def main():
+    h.enable_persistent_cache(REPO_ROOT)
+    t0 = time.perf_counter()
+    h.compile_loops(h.pallas_loop, h.make_inputs())
+    print(f"pallas loop programs compiled in {time.perf_counter() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
