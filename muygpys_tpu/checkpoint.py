@@ -70,9 +70,12 @@ def _param_from(spec: Dict) -> Parameter:
 
 
 def _metric_name(metric) -> str:
-    for name, m in _METRICS.items():
-        if m is metric:
-            return name
+    # match by declared name, not identity: optimized models are rebuilt via
+    # deepcopy (optimize/chassis.py _new_muygps), which clones the l2/F2
+    # metric singletons
+    name = getattr(metric, "name", None)
+    if name in _METRICS:
+        return name
     raise ValueError("unknown metric function; cannot serialize")
 
 

@@ -135,6 +135,7 @@ def train_deep_kernel_muygps(
         params = optax.apply_updates(params, updates)
         return loss, params, opt_state
 
+    loss = jnp.nan  # reported when training_iterations == 0
     for epoch in range(training_iterations):
         loss, params, opt_state = train_step(
             params,
@@ -199,3 +200,28 @@ def predict_model(
         method=lambda m, x, i, ni, nt: m.gp_layer(x, i, ni, nt),
     )
     return mean, var
+
+
+def predict_single_model(
+    model, params, test_features, train_features, train_responses,
+    nbrs_lookup: NN_Wrapper, nn_count: int,
+):
+    """Parity alias for the reference's ``predict_single_model``
+    (``examples/muygps_torch.py:53``): univariate GP layer prediction.
+    The flax rebuild's :func:`predict_model` is layer-agnostic."""
+    return predict_model(
+        model, params, test_features, train_features, train_responses,
+        nbrs_lookup, nn_count,
+    )
+
+
+def predict_multiple_model(
+    model, params, test_features, train_features, train_responses,
+    nbrs_lookup: NN_Wrapper, nn_count: int,
+):
+    """Parity alias for the reference's ``predict_multiple_model``
+    (``examples/muygps_torch.py:132``): multivariate GP layer prediction."""
+    return predict_model(
+        model, params, test_features, train_features, train_responses,
+        nbrs_lookup, nn_count,
+    )

@@ -27,7 +27,9 @@ class MetricFn:
         apply_length_scale_fn: Callable,
         pairwise_from_indices_fn: Callable,
         crosswise_from_indices_fn: Callable,
+        name: str = "custom",
     ):
+        self.name = name
         self._differences_metric_fn = differences_metric_fn
         self._apply_length_scale_fn = apply_length_scale_fn
         self._pairwise_from_indices_fn = pairwise_from_indices_fn
@@ -73,6 +75,7 @@ l2 = MetricFn(
     crosswise_from_indices_fn=lambda d, nd, di, ni: _t.safe_sqrt(
         _t.crosswise_F2(d, nd, di, ni)
     ),
+    name="l2",
 )
 """Euclidean distance metric; ``apply_length_scale = d / ls``."""
 
@@ -81,5 +84,6 @@ F2 = MetricFn(
     apply_length_scale_fn=lambda dists, ls: dists / (ls**2),
     pairwise_from_indices_fn=_t.pairwise_F2,
     crosswise_from_indices_fn=_t.crosswise_F2,
+    name="F2",
 )
 """Squared-Euclidean metric; ``apply_length_scale = d / ls^2``."""

@@ -72,6 +72,7 @@ class LossFn:
     ):
         self._fn = loss_fn
         self._make_predict_and_loss_fn = make_predict_and_loss_fn
+        self.name = getattr(loss_fn, "__name__", type(loss_fn).__name__)
 
     def __call__(self, *args, **kwargs):
         return self._fn(*args, **kwargs)

@@ -226,3 +226,99 @@ def test_sharded_heteroscedastic_and_fast_paths(mesh, rng):
     np.testing.assert_allclose(
         gather_global(fast_sh), serial_fast, rtol=1e-9, atol=1e-11
     )
+
+
+def test_sharded_shear_objective_matches_serial(mesh, rng):
+    """BASELINE config 5 core: the weak-lensing shear LOO objective (and its
+    gradient) over a mesh-sharded batch of sky points matches the serial
+    result — the multi-output (3x3-block) covariance path shards along the
+    batch axis exactly like the scalar path."""
+    from muygpys_tpu.gp.deformation import DifferenceIsotropy, F2
+    from muygpys_tpu.gp.hyperparameter import FixedScale
+    from muygpys_tpu.gp.kernels.experimental import ShearKernel
+    from muygpys_tpu.gp.noise import ShearNoise33
+    from muygpys_tpu.optimize import mse_fn
+
+    n, nn = even_batch(64, mesh), 10
+    pts = rng.uniform(size=(n, 2))
+    targets = rng.normal(size=(n, 3))
+
+    model = MuyGPS(
+        kernel=ShearKernel(
+            deformation=DifferenceIsotropy(
+                F2, length_scale=Parameter(0.15, (0.02, 0.5))
+            )
+        ),
+        noise=ShearNoise33(1e-4),
+        scale=FixedScale(),
+    )
+    d = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+    bni = np.argsort(d, axis=1)[:, 1 : nn + 1]
+    bi = np.arange(n)
+    pw = model.kernel.deformation.pairwise_tensor(jnp.asarray(pts), bni)
+    cw = model.kernel.deformation.crosswise_tensor(
+        jnp.asarray(pts), jnp.asarray(pts), bi, bni
+    )
+    bt = jnp.asarray(targets)  # (b, 3)
+    bnt = jnp.asarray(targets[bni].swapaxes(-2, -1))  # (b, 3, nn)
+
+    obj = L_BFGS_B_optimize.make_obj_fn(model, bt, bnt, cw, pw,
+                                        loss_fn=mse_fn)
+    serial = float(obj(length_scale=0.1))
+    g_serial = float(jax.grad(lambda ls: obj(length_scale=ls))(0.1))
+
+    cw_s, pw_s, bt_s, bnt_s = shard_batch((cw, pw, bt, bnt), mesh)
+    obj_sh = L_BFGS_B_optimize.make_obj_fn(
+        model, bt_s, bnt_s, cw_s, pw_s, loss_fn=mse_fn
+    )
+    sharded = float(jax.jit(lambda ls: obj_sh(length_scale=ls))(0.1))
+    g_sharded = float(
+        jax.jit(jax.grad(lambda ls: obj_sh(length_scale=ls)))(0.1)
+    )
+    np.testing.assert_allclose(sharded, serial, rtol=1e-10)
+    np.testing.assert_allclose(g_sharded, g_serial, rtol=1e-8)
+
+
+def test_sharded_shear_posterior_matches_serial(mesh, rng):
+    """Config 5 serve side: sharded shear posterior mean equals serial."""
+    from muygpys_tpu.gp.deformation import DifferenceIsotropy, F2
+    from muygpys_tpu.gp.hyperparameter import FixedScale
+    from muygpys_tpu.gp.kernels.experimental import ShearKernel
+    from muygpys_tpu.gp.noise import ShearNoise33
+
+    n, nn = even_batch(64, mesh), 10
+    pts = rng.uniform(size=(n, 2))
+    targets = rng.normal(size=(n, 3))
+    model = MuyGPS(
+        kernel=ShearKernel(
+            deformation=DifferenceIsotropy(
+                F2, length_scale=Parameter(0.12)
+            )
+        ),
+        noise=ShearNoise33(1e-4),
+        scale=FixedScale(),
+    )
+    d = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+    bni = np.argsort(d, axis=1)[:, 1 : nn + 1]
+    bi = np.arange(n)
+    pw = model.kernel.deformation.pairwise_tensor(jnp.asarray(pts), bni)
+    cw = model.kernel.deformation.crosswise_tensor(
+        jnp.asarray(pts), jnp.asarray(pts), bi, bni
+    )
+    bnt = jnp.asarray(targets[bni].swapaxes(-2, -1))
+
+    @jax.jit
+    def predict(cw_, pw_, bnt_):
+        return model.posterior_mean(
+            model.kernel(pw_), model.kernel(cw_), bnt_
+        )
+
+    # oracle is the same jitted program on unsharded inputs (the eager path
+    # differs at f32-roundoff-times-condition-number on the ill-conditioned
+    # shear covariance; that is a precision property, not a sharding one)
+    serial = np.asarray(predict(cw, pw, bnt))
+
+    cw_s, pw_s, bnt_s = shard_batch((cw, pw, bnt), mesh)
+    sharded = predict(cw_s, pw_s, bnt_s)
+    assert len(sharded.sharding.device_set) == 8
+    np.testing.assert_allclose(gather_global(sharded), serial, rtol=1e-9)

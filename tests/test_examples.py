@@ -142,13 +142,16 @@ class TestClassify:
 
 
 class TestClassifyUQ:
-    def test_do_classify_uq(self, rng):
+    def test_do_classify_uq(self):
         from muygpys_tpu.examples.two_class_classify_uq import (
             do_classify_uq,
             do_uq,
         )
 
-        xtr, ytr, xte, yte = _two_class_data(rng)
+        # own seed: the ambiguous-vs-unambiguous accuracy property below is
+        # statistical, and the module-scoped rng's state depends on which
+        # tests ran before this one in the module
+        xtr, ytr, xte, yte = _two_class_data(np.random.default_rng(7))
         model, nbrs, preds, masks = do_classify_uq(
             xte, xtr, ytr,
             nn_count=20,
