@@ -24,8 +24,18 @@ import jax.numpy as jnp
 
 
 def cholesky_bl(K: jnp.ndarray) -> jnp.ndarray:
-    """Lower Cholesky factor of SPD ``K`` with shape ``(n, n, B)``."""
+    """Lower Cholesky factor of SPD ``K`` with shape ``(n, n, B)``.
+
+    The pivot is floored at a dtype epsilon (unit-prior-diagonal scale):
+    at f32, a neighborhood whose kernel matrix is numerically singular
+    otherwise yields sqrt(negative) and a NaN that poisons the whole batch
+    — under LOO optimization that NaN-cliffs the objective and silently
+    aborts the line search.  Where the floor is active the factor is a
+    nearby PSD surrogate: the objective stays finite (and large), gradients
+    stay finite, and the optimizer retreats smoothly.
+    """
     n = K.shape[0]
+    pivot_floor = 10.0 * jnp.finfo(K.dtype).eps
     cols = []
     for j in range(n):
         c = K[:, j, :]  # (n, B)
@@ -33,6 +43,7 @@ def cholesky_bl(K: jnp.ndarray) -> jnp.ndarray:
             Lj = jnp.stack([cols[k][j] for k in range(j)])  # (j, B)
             Lpre = jnp.stack(cols, axis=1)  # (n, j, B)
             c = c - jnp.einsum("ikb,kb->ib", Lpre, Lj)
+        c = c.at[j].set(jnp.maximum(c[j], pivot_floor))
         d = jnp.sqrt(c[j])
         col = c / d
         mask = (jnp.arange(n) >= j)[:, None]

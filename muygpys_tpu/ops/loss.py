@@ -44,6 +44,14 @@ def mse_fn(
     return mse_fn_unnormalized(predictions, targets) / predictions.size
 
 
+def _floor_variances(variances: jnp.ndarray) -> jnp.ndarray:
+    """Floor at a dtype-scaled epsilon: at f32, near-singular neighborhoods
+    round the posterior variance slightly negative, and log() of it NaNs the
+    whole objective — L-BFGS then silently keeps the initial parameters."""
+    eps = 10.0 * jnp.finfo(variances.dtype).eps
+    return jnp.maximum(variances, eps)
+
+
 def lool_fn_unscaled(
     predictions: jnp.ndarray,
     targets: jnp.ndarray,
@@ -52,6 +60,7 @@ def lool_fn_unscaled(
 ) -> jnp.ndarray:
     """Leave-one-out likelihood (Eq. 10 of arXiv:2209.11280)."""
     if variances.ndim == 1 or variances.ndim == predictions.ndim:
+        variances = _floor_variances(variances)
         if variances.ndim == 1 and predictions.ndim == 2:
             # guard against (b, r) / (b,) silently broadcasting to (b, b)
             variances = variances[:, None]
@@ -100,6 +109,7 @@ def looph_fn_unscaled(
     """Leave-one-out pseudo-Huber (Eq. 8 of arXiv:2409.11577)."""
     if variances.ndim == 1 and predictions.ndim == 2:
         variances = variances[:, None]
+    variances = _floor_variances(variances)
     bs2 = boundary_scale**2
     return jnp.sum(
         2.0

@@ -20,6 +20,7 @@ from muygpys_tpu.optimize.loss import (
     pseudo_huber_fn,
 )
 from muygpys_tpu.optimize.fast_objective import make_fast_loo_objective
+from muygpys_tpu.optimize.fused_chassis import Fused_L_BFGS_B_optimize
 from muygpys_tpu.optimize.objective import make_loo_crossval_fn
 
 __all__ = [
@@ -29,6 +30,7 @@ __all__ = [
     "LossFn",
     "OptimizeFn",
     "cross_entropy_fn",
+    "Fused_L_BFGS_B_optimize",
     "full_filtered_batch",
     "get_balanced_batch",
     "lool_fn",

@@ -91,6 +91,12 @@ def _scipy_optimize(
 
         def fun(x):
             v, g = vag(x)
+            if not (np.isfinite(v) and np.all(np.isfinite(g))):
+                # f32 Cholesky goes NaN where the proposal makes a
+                # neighborhood matrix numerically singular; a large finite
+                # penalty makes the line search backtrack instead of
+                # aborting the whole optimization at the initial point
+                return 1e12, np.zeros_like(g)
             return -v, -g
 
         optres = opt.minimize(

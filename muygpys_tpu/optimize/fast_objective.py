@@ -146,7 +146,11 @@ def make_fast_loo_objective(
         else:
             zy0 = zy
         scale = jnp.sum(zy0 * zy0) / (B * n)  # analytic sigma^2
-        sv = scale * var  # (B,)
+        # f32 floor: near-singular neighborhoods round var slightly negative
+        # and log() would NaN the objective (see ops/loss._floor_variances)
+        sv = jnp.maximum(
+            scale * var, 10.0 * jnp.finfo(var.dtype).eps
+        )  # (B,)
         return -jnp.sum((mean - t_bl) ** 2 / sv[None, :] + jnp.log(sv))
 
     return obj_fn, names

@@ -1,0 +1,98 @@
+"""Fused-objective L-BFGS-B chassis: the production training fast path.
+
+Same result contract as :data:`muygpys_tpu.optimize.L_BFGS_B_optimize` for
+the common production model (Matern/RBF + Isotropy + homoscedastic noise,
+lool/mse loss), but the objective is evaluated by the lane-layout fast
+objective (:mod:`muygpys_tpu.optimize.fast_objective`, ~4.5x the generic
+chassis) or the single fused Pallas kernel that returns value AND analytic
+gradient in one VMEM pass (:mod:`muygpys_tpu.pallas.fused_train`; see
+PERF.md for the measured ladder).
+
+    model = Fused_L_BFGS_B_optimize(model, bt, bnt, cw, pw, loss="lool")
+
+``engine``:
+    "pallas" — fused kernel; falls back to "lanes" when the model needs a
+               capability the kernel doesn't lower (free smoothness).
+    "lanes"  — lane-layout XLA objective under jit(value_and_grad).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+from muygpys_tpu.gp.muygps import MuyGPS
+from muygpys_tpu.optimize.chassis import _get_opt_lists, _new_muygps
+from muygpys_tpu.optimize.fast_objective import make_fast_loo_objective
+
+
+def Fused_L_BFGS_B_optimize(
+    muygps: MuyGPS,
+    batch_targets,
+    batch_nn_targets,
+    crosswise_dists,
+    pairwise_dists,
+    loss: str = "lool",
+    engine: str = "pallas",
+    verbose: bool = False,
+    interpret: Optional[bool] = None,
+    **kwargs,
+) -> MuyGPS:
+    """L-BFGS-B over the fused LOO objective; returns the optimized model."""
+    from scipy import optimize as opt
+
+    if engine not in ("pallas", "lanes"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if interpret is None:
+        # Mosaic only lowers on TPU; interpret keeps the engine usable (if
+        # slow) for CPU development and tests
+        interpret = jax.default_backend() == "cpu"
+
+    x0_names, x0, bounds = _get_opt_lists(muygps, verbose=verbose)
+
+    vag = None
+    if engine == "pallas":
+        from muygpys_tpu.pallas.fused_train import make_fused_train_objective
+
+        try:
+            vag, _ = make_fused_train_objective(
+                muygps, batch_targets, batch_nn_targets,
+                crosswise_dists, pairwise_dists, loss=loss,
+                interpret=interpret,
+            )
+            # probe: lowering errors surface at first call, not build time
+            v0, g0 = vag({n: x0[i] for i, n in enumerate(x0_names)})
+            ok = np.isfinite(float(v0)) and all(
+                np.isfinite(float(g0.get(n, 0.0))) for n in x0_names
+            )
+            if not ok:
+                raise ValueError("non-finite probe value/gradient")
+        except Exception as e:  # noqa: BLE001 — any lowering failure
+            vag = None
+            if verbose:
+                print(f"pallas engine unavailable ({e}); using lanes")
+    if vag is None:
+        obj_fn, _ = make_fast_loo_objective(
+            muygps, batch_targets, batch_nn_targets,
+            crosswise_dists, pairwise_dists, loss=loss,
+        )
+        vag = jax.jit(jax.value_and_grad(obj_fn))
+
+    def fun(x):
+        v, g = vag({n: x[i] for i, n in enumerate(x0_names)})
+        fv = float(v)
+        gv = np.array([float(g.get(n, 0.0)) for n in x0_names])
+        if not (np.isfinite(fv) and np.all(np.isfinite(gv))):
+            # NaN-safe line search: see chassis._scipy_optimize
+            return 1e12, np.zeros_like(gv)
+        return -fv, -gv
+
+    optres = opt.minimize(
+        fun, x0, method="L-BFGS-B", jac=True, bounds=bounds, **kwargs
+    )
+    if verbose:
+        print(f"optimizer results: \n{optres}")
+    ret = {n: optres.x[i] for i, n in enumerate(x0_names)}
+    return _new_muygps(muygps, x0_names, bounds, ret)

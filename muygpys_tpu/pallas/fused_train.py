@@ -1,0 +1,406 @@
+"""Pallas TPU kernel: fused LOO-objective value AND gradient.
+
+One kernel pass per batch tile computes, entirely in VMEM: distance scaling
+-> Matern/RBF kernel -> nugget -> batch-on-lanes Cholesky -> forward + back
+substitutions -> the per-point statistics of the lool/mse LOO objective AND
+their analytic derivatives with respect to the free hyperparameters
+(length_scale, noise).
+
+No reverse-mode through the factorization is needed: the objective touches
+``Kin^{-1}`` only through quadratic forms, so with ``a = Kin^{-1} kc`` and
+``b = Kin^{-1} y`` (one extra back-substitution each beyond the serve
+kernel):
+
+    mean  = kc^T b          dmean = dkc^T b - a^T dK b
+    var   = 1 - kc^T a      dvar  = -2 dkc^T a + a^T dK a
+    q     = sum_r y^T b     dq    = -sum_r b^T dK b      (sigma^2 numerator)
+
+``dK/d length_scale`` is elementwise-analytic per kernel family, and
+``dK/d noise = I`` collapses the contractions to inner products.  The kernel
+emits per-point (mean, var, q, dmean, dvar, dq) rows; a tiny XLA epilogue
+combines them with the batch-global sigma^2 into the scalar objective and
+its gradient (:func:`fused_loo_value_and_grad`).
+
+Semantics conform to :mod:`muygpys_tpu.optimize.fast_objective` exactly,
+including the reference's stored-noise-for-sigma^2 quirk
+(reference ``gp/hyperparameter/scale.py:205``): when noise is a free
+parameter, sigma^2 is computed under the model's stored noise via a second
+factorization, and d(sigma^2)/d(noise) == 0.
+
+Measured: see PERF.md (training steps/sec ladder).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SQRT3 = 1.7320508075688772
+_SQRT5 = 2.23606797749979
+
+
+def _kernel_and_deriv(u, smoothness):
+    """Returns (K(u), H(u) = u * dK/du) elementwise."""
+    if smoothness == 0.5:
+        e = jnp.exp(-u)
+        return e, -u * e
+    if smoothness == 1.5:
+        e = jnp.exp(-u * _SQRT3)
+        return (1.0 + _SQRT3 * u) * e, -3.0 * u * u * e
+    if smoothness == 2.5:
+        e = jnp.exp(-u * _SQRT5)
+        t = _SQRT5 * u
+        return (
+            (1.0 + t + t * t / 3.0) * e,
+            -(5.0 / 3.0) * u * u * (1.0 + t) * e,
+        )
+    if smoothness == math.inf:
+        e = jnp.exp(-(u * u) / 2.0)
+        return e, -u * u * e
+    if smoothness == "rbf":
+        e = jnp.exp(-u / 2.0)
+        return e, -0.5 * u * e
+    raise ValueError(
+        f"fused train kernel supports smoothness 0.5/1.5/2.5/inf/'rbf', "
+        f"got {smoothness}"
+    )
+
+
+def _chol_bl(K, n):
+    """Unrolled right-looking Cholesky, batch on lanes.  K (n,n,TB).
+
+    Pivot floored at a dtype epsilon so numerically singular neighborhoods
+    give a finite nearby-PSD factor instead of NaN-cliffing the objective
+    (see ops/lanes_solver.cholesky_bl)."""
+    pivot_floor = 10.0 * jnp.finfo(K.dtype).eps
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    cols = []
+    for j in range(n):
+        c = K[:, j, :]
+        if j > 0:
+            Lpre = jnp.stack(cols, axis=1)  # (n, j, TB)
+            c = c - jnp.sum(Lpre * Lpre[j][None, :, :], axis=1)
+        c = jnp.where(iota == j, jnp.maximum(c, pivot_floor), c)
+        d = jnp.sqrt(c[j])
+        colv = c / d
+        cols.append(jnp.where(iota >= j, colv, 0.0))
+    return jnp.stack(cols, axis=1)  # (n, n, TB)
+
+
+def _fwd_bl(L, rhs, n):
+    """Forward substitution L z = rhs.  rhs (n, r, TB) -> z (n, r, TB)."""
+    zs = []
+    for j in range(n):
+        acc = rhs[j]  # (r, TB)
+        if j > 0:
+            Lrow = L[j, :j, :]  # (j, TB)
+            acc = acc - jnp.sum(
+                Lrow[:, None, :] * jnp.stack(zs), axis=0
+            )
+        zs.append(acc / L[j, j][None, :])
+    return jnp.stack(zs)  # (n, r, TB)
+
+
+def _bwd_bl(L, z, n):
+    """Back substitution L^T x = z.  z (n, r, TB) -> x (n, r, TB)."""
+    xs = [None] * n
+    for j in reversed(range(n)):
+        acc = z[j]  # (r, TB)
+        if j < n - 1:
+            Lcol = L[j + 1:, j, :]  # (n-1-j, TB)
+            Xpost = jnp.stack(xs[j + 1:], axis=0)  # (n-1-j, r, TB)
+            acc = acc - jnp.sum(Lcol[:, None, :] * Xpost, axis=0)
+        xs[j] = acc / L[j, j][None, :]
+    return jnp.stack(xs)
+
+
+def _matvec_bl(G, x, n):
+    """w = G x per lane, x (n, TB) -> (n, TB); G symmetric (n, n, TB)."""
+    return jnp.sum(G * x[:, None, :], axis=0)
+
+
+def _train_body(
+    smoothness, metric_power, noise_free,
+    params_ref, pw_ref, cw_ref, y_ref, out_ref,
+):
+    n = pw_ref.shape[0]
+    r = y_ref.shape[1]
+    ls = params_ref[0]
+    noise = params_ref[1]
+    noise0 = params_ref[2]
+
+    pw = pw_ref[:]  # (n, n, TB)
+    cw = cw_ref[:]  # (n, TB)
+    y = y_ref[:]  # (n, r, TB)
+
+    inv = 1.0 / ls if metric_power == 1 else 1.0 / (ls * ls)
+    u_p = pw * inv
+    u_c = cw * inv
+    K, H = _kernel_and_deriv(u_p, smoothness)
+    kc, Hc = _kernel_and_deriv(u_c, smoothness)
+    # dK/d ls = (-c/ls) * H(u)
+    gcoef = -metric_power / ls
+    G = gcoef * H  # (n, n, TB)
+    gc = gcoef * Hc  # (n, TB)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eye = (row == col).astype(pw.dtype)[:, :, None]
+
+    L = _chol_bl(K + noise * eye, n)
+    rhs = jnp.concatenate([kc[:, None, :], y], axis=1)  # (n, 1+r, TB)
+    Z = _fwd_bl(L, rhs, n)
+    X = _bwd_bl(L, Z, n)
+    a = X[:, 0, :]  # (n, TB)   Kin^{-1} kc
+    b = X[:, 1:, :]  # (n, r, TB) Kin^{-1} y
+    zc = Z[:, 0, :]
+    zy = Z[:, 1:, :]
+
+    mean = jnp.sum(zc[:, None, :] * zy, axis=0)  # (r, TB)
+    var = 1.0 - jnp.sum(zc * zc, axis=0)  # (TB,)
+
+    if noise_free:
+        # sigma^2 under the model's STORED noise (reference quirk)
+        L0 = _chol_bl(K + noise0 * eye, n)
+        Zy0 = _fwd_bl(L0, y, n)
+        b0 = _bwd_bl(L0, Zy0, n)  # (n, r, TB)
+        q = jnp.sum(Zy0 * Zy0, axis=(0, 1))  # (TB,)
+    else:
+        b0 = b
+        q = jnp.sum(zy * zy, axis=(0, 1))
+
+    # length-scale derivative contractions
+    wa = _matvec_bl(G, a, n)  # (n, TB)  G a
+    dmL = (
+        jnp.sum(gc[:, None, :] * b, axis=0)
+        - jnp.sum(wa[:, None, :] * b, axis=0)
+    )  # (r, TB)
+    dvL = (
+        -2.0 * jnp.sum(gc * a, axis=0) + jnp.sum(wa * a, axis=0)
+    )  # (TB,)
+    dqL = jnp.zeros_like(q)
+    for k in range(r):
+        w0 = _matvec_bl(G, b0[:, k, :], n)
+        dqL = dqL - jnp.sum(w0 * b0[:, k, :], axis=0)
+
+    # noise derivative contractions (dK = I, dkc = 0; dq = 0 by the quirk)
+    dmN = -jnp.sum(a[:, None, :] * b, axis=0)  # (r, TB)
+    dvN = jnp.sum(a * a, axis=0)  # (TB,)
+
+    out_ref[:] = jnp.concatenate(
+        [
+            mean,  # rows 0..r-1
+            var[None, :],  # r
+            q[None, :],  # r+1
+            dmL,  # r+2 .. 2r+1
+            dvL[None, :],  # 2r+2
+            dqL[None, :],  # 2r+3
+            dmN,  # 2r+4 .. 3r+3
+            dvN[None, :],  # 3r+4
+        ],
+        axis=0,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "smoothness", "metric_power", "noise_free", "batch_tile",
+        "interpret",
+    ),
+)
+def fused_train_stats_bl(
+    pw, cw, y, params,
+    smoothness=1.5,
+    metric_power: int = 1,
+    noise_free: bool = False,
+    batch_tile: int = 256,
+    interpret: bool = False,
+):
+    """Per-point LOO statistics + analytic derivative rows, (3r+5, B).
+
+    ``pw (n, n, B)``, ``cw (n, B)``, ``y (n, r, B)``;
+    ``params = [length_scale, noise, stored_noise]`` (traced, so one
+    compiled executable serves every optimizer step).
+    """
+    n, _, B = pw.shape
+    r = y.shape[1]
+    if B % batch_tile != 0:
+        raise ValueError(f"batch {B} must divide batch_tile {batch_tile}")
+    C = 3 * r + 5
+    grid = (B // batch_tile,)
+    kernel = functools.partial(
+        _train_body, smoothness, metric_power, noise_free
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params (3,)
+            pl.BlockSpec(
+                (n, n, batch_tile), lambda i: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (n, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (n, r, batch_tile), lambda i: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (C, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((C, B), pw.dtype),
+        interpret=interpret,
+    )(params, pw, cw, y)
+    return out
+
+
+def _epilogue(stats, t_bl, loss, free_names, n):
+    """Scalar objective (-loss) and gradient dict from per-point stats."""
+    r, B = t_bl.shape
+    mean = stats[0:r]
+    var = stats[r]
+    q = stats[r + 1]
+    dmL = stats[r + 2:2 * r + 2]
+    dvL = stats[2 * r + 2]
+    dqL = stats[2 * r + 3]
+    dmN = stats[2 * r + 4:3 * r + 4]
+    dvN = stats[3 * r + 4]
+
+    e = mean - t_bl  # (r, B)
+    grads = {}
+    if loss == "mse":
+        value = -jnp.sum(e * e) / t_bl.size
+        if "length_scale" in free_names:
+            grads["length_scale"] = -2.0 * jnp.sum(e * dmL) / t_bl.size
+        if "noise" in free_names:
+            grads["noise"] = -2.0 * jnp.sum(e * dmN) / t_bl.size
+        return value, grads
+
+    s = jnp.sum(q) / (B * n)  # analytic sigma^2 (global)
+    # f32 floor, matching fast_objective: where the floor is active the
+    # derivative of sv w.r.t. the hyperparameters is zero
+    floor = 10.0 * jnp.finfo(var.dtype).eps
+    raw_sv = s * var
+    clamped = raw_sv < floor  # (B,)
+    sv = jnp.maximum(raw_sv, floor)
+    value = -(jnp.sum(e * e / sv[None, :]) + r * jnp.sum(jnp.log(sv)))
+
+    def dlool(dm, dv, ds):
+        dsv = jnp.where(clamped, 0.0, ds * var + s * dv)  # (B,)
+        return (
+            jnp.sum(2.0 * e * dm / sv[None, :])
+            - jnp.sum((e * e) * (dsv / (sv * sv))[None, :])
+            + r * jnp.sum(dsv / sv)
+        )
+
+    if "length_scale" in free_names:
+        dsL = jnp.sum(dqL) / (B * n)
+        grads["length_scale"] = -dlool(dmL, dvL, dsL)
+    if "noise" in free_names:
+        # d sigma^2 / d noise == 0 under the stored-noise quirk
+        grads["noise"] = -dlool(dmN, dvN, jnp.zeros(()))
+    return value, grads
+
+
+def make_fused_train_objective(
+    muygps, batch_targets, batch_nn_targets, crosswise_dists, pairwise_dists,
+    loss: str = "lool",
+    batch_tile: int = 256,
+    interpret: bool = False,
+):
+    """Pallas value-and-gradient LOO objective for the chassis fast path.
+
+    Same model restrictions as
+    :func:`muygpys_tpu.optimize.fast_objective.make_fast_loo_objective`
+    minus free smoothness (falls back there): Matern (fixed nu in
+    {1/2,3/2,5/2,inf}) or RBF, Isotropy, homoscedastic noise, lool/mse.
+
+    Returns (value_and_grad_fn, free_param_names) where
+    ``value_and_grad_fn(params_dict) -> (objective, grads_dict)`` with the
+    maximization sign convention of the generic objective.
+    """
+    from muygpys_tpu.gp.deformation import Isotropy
+    from muygpys_tpu.gp.deformation.metric import F2 as _F2m, l2 as _l2m
+    from muygpys_tpu.gp.kernels import Matern, RBF
+    from muygpys_tpu.gp.noise import HomoscedasticNoise
+
+    kernel = muygps.kernel
+    if not isinstance(kernel, (Matern, RBF)):
+        raise ValueError(f"unsupported kernel {type(kernel)}")
+    if not isinstance(kernel.deformation, Isotropy):
+        raise ValueError(
+            f"unsupported deformation {type(kernel.deformation)}"
+        )
+    if not isinstance(muygps.noise, HomoscedasticNoise):
+        raise ValueError(f"unsupported noise {type(muygps.noise)}")
+    if loss not in ("lool", "mse"):
+        raise ValueError(f"unsupported loss {loss!r}")
+    metric = kernel.deformation.metric
+    metric_name = getattr(metric, "name", None)
+    if metric_name not in ("l2", "F2"):
+        raise ValueError(f"unsupported metric {metric_name!r}")
+    metric_power = 1 if metric_name == "l2" else 2
+    if isinstance(kernel, RBF):
+        smoothness = "rbf"
+    else:
+        if not kernel.smoothness.fixed():
+            raise ValueError(
+                "free smoothness requires the XLA fast objective "
+                "(general-nu Bessel does not lower in the Pallas kernel)"
+            )
+        smoothness = float(kernel.smoothness())
+        if smoothness not in (0.5, 1.5, 2.5, math.inf):
+            raise ValueError(
+                f"fixed smoothness {smoothness} has no closed form"
+            )
+
+    names, _, _ = muygps.get_opt_params()
+    noise_free = "noise" in names
+    noise0 = float(muygps.noise())
+    ls0 = float(kernel.deformation.length_scale())
+
+    pw_bl = jnp.transpose(jnp.asarray(pairwise_dists), (1, 2, 0))
+    cw_bl = jnp.transpose(jnp.asarray(crosswise_dists), (1, 0))
+    y = jnp.asarray(batch_nn_targets)
+    if y.ndim == 2:
+        y = y[:, :, None]
+    y_bl = jnp.transpose(y, (1, 2, 0))
+    t = jnp.asarray(batch_targets)
+    if t.ndim == 1:
+        t = t[:, None]
+    t_bl = jnp.transpose(t, (1, 0))
+
+    n, _, B = pw_bl.shape
+    tile = min(batch_tile, B)
+    while B % tile != 0:
+        tile //= 2
+    free_names = tuple(nm for nm in names if nm in ("length_scale", "noise"))
+
+    @functools.partial(jax.jit, static_argnames=())
+    def _vag(params_arr):
+        stats = fused_train_stats_bl(
+            pw_bl, cw_bl, y_bl, params_arr,
+            smoothness=smoothness,
+            metric_power=metric_power,
+            noise_free=noise_free,
+            batch_tile=tile,
+            interpret=interpret,
+        )
+        return _epilogue(stats, t_bl, loss, free_names, n)
+
+    def value_and_grad_fn(params):
+        ls = params.get("length_scale", ls0)
+        noise = params.get("noise", noise0)
+        arr = jnp.asarray([ls, noise, noise0], pw_bl.dtype)
+        return _vag(arr)
+
+    return value_and_grad_fn, list(names)

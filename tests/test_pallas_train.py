@@ -1,0 +1,154 @@
+"""Fused Pallas training kernel conformance (interpret mode, f64 CPU).
+
+The kernel computes the LOO objective value AND analytic gradients
+(quadratic-form identities — no reverse-mode through Cholesky); these must
+match ``jax.value_and_grad`` of the XLA fast objective exactly, across every
+supported (kernel family x noise-free x loss x multivariate) combination,
+including the reference's stored-noise-for-sigma^2 quirk.
+"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from muygpys_tpu.gp import MuyGPS
+from muygpys_tpu.gp.deformation import Anisotropy, F2, Isotropy, l2
+from muygpys_tpu.gp.hyperparameter import (
+    AnalyticScale,
+    Parameter,
+    VectorParameter,
+)
+from muygpys_tpu.gp.kernels import Matern, RBF
+from muygpys_tpu.gp.noise import HomoscedasticNoise
+from muygpys_tpu.optimize.fast_objective import make_fast_loo_objective
+from muygpys_tpu.pallas.fused_train import make_fused_train_objective
+
+B, N = 64, 10
+
+
+def _problem(rng, kern, noise_free, multivariate):
+    r = 2 if multivariate else 1
+    pts = np.sort(rng.uniform(size=(B, N)), axis=1)
+    pw = np.abs(pts[:, :, None] - pts[:, None, :])
+    cw = np.abs(rng.uniform(size=(B, 1)) - pts)
+    if kern == "rbf":
+        pw, cw = pw**2, cw**2
+        k = RBF(
+            deformation=Isotropy(F2, length_scale=Parameter(0.4, (0.01, 5.0)))
+        )
+    else:
+        k = Matern(
+            smoothness=Parameter(kern),
+            deformation=Isotropy(l2, length_scale=Parameter(0.4, (0.01, 5.0))),
+        )
+    noise = (
+        HomoscedasticNoise(1e-3, (1e-6, 1e-1))
+        if noise_free
+        else HomoscedasticNoise(1e-3)
+    )
+    model = MuyGPS(kernel=k, noise=noise, scale=AnalyticScale())
+    y = rng.standard_normal((B, N, r))
+    t = rng.standard_normal((B, r))
+    if not multivariate:
+        y, t = y[:, :, 0], t[:, 0]
+    return model, t, y, jnp.asarray(cw), jnp.asarray(pw)
+
+
+@pytest.mark.parametrize("kern", [0.5, 1.5, 2.5, math.inf, "rbf"])
+@pytest.mark.parametrize("noise_free", [False, True])
+@pytest.mark.parametrize("loss", ["lool", "mse"])
+@pytest.mark.parametrize("multivariate", [False, True])
+def test_value_and_grad_conformance(rng, kern, noise_free, loss, multivariate):
+    model, t, y, cw, pw = _problem(rng, kern, noise_free, multivariate)
+    ref_obj, _ = make_fast_loo_objective(model, t, y, cw, pw, loss=loss)
+    vag, _ = make_fused_train_objective(
+        model, t, y, cw, pw, loss=loss, interpret=True
+    )
+    params = {"length_scale": 0.33}
+    if noise_free:
+        params["noise"] = 2e-3
+    v_ref, g_ref = jax.value_and_grad(lambda p: ref_obj(p))(params)
+    v, g = vag(params)
+    np.testing.assert_allclose(float(v), float(v_ref), rtol=1e-8)
+    for name in params:
+        np.testing.assert_allclose(
+            float(g[name]), float(g_ref[name]), rtol=1e-6
+        )
+
+
+def test_rejects_unsupported_models(rng):
+    model, t, y, cw, pw = _problem(rng, 1.5, False, False)
+    free_nu = MuyGPS(
+        kernel=Matern(
+            smoothness=Parameter(1.0, (0.2, 3.0)),
+            deformation=Isotropy(l2, length_scale=Parameter(0.4)),
+        ),
+        noise=HomoscedasticNoise(1e-3),
+    )
+    with pytest.raises(ValueError, match="free smoothness"):
+        make_fused_train_objective(free_nu, t, y, cw, pw)
+    aniso = MuyGPS(
+        kernel=Matern(
+            smoothness=Parameter(1.5),
+            deformation=Anisotropy(
+                l2, VectorParameter(Parameter(1.0), Parameter(1.0))
+            ),
+        ),
+        noise=HomoscedasticNoise(1e-3),
+    )
+    with pytest.raises(ValueError, match="deformation"):
+        make_fused_train_objective(aniso, t, y, cw, pw)
+
+
+def test_uneven_batch_tile_fallback(rng):
+    """Batch sizes that don't divide the default tile pick a smaller tile."""
+    model, t, y, cw, pw = _problem(rng, 1.5, False, False)
+    # B=64 < default 256: tile shrinks to 64
+    vag, _ = make_fused_train_objective(
+        model, t, y, cw, pw, interpret=True, batch_tile=256
+    )
+    v, g = vag({"length_scale": 0.33})
+    assert np.isfinite(float(v)) and np.isfinite(float(g["length_scale"]))
+
+
+def test_fused_chassis_matches_generic(rng):
+    """Fused_L_BFGS_B_optimize (both engines) lands at the same optimum as
+    the generic L-BFGS-B chassis."""
+    from muygpys_tpu.optimize import (
+        Fused_L_BFGS_B_optimize,
+        L_BFGS_B_optimize,
+        lool_fn,
+    )
+
+    model, t, y, cw, pw = _problem(rng, 1.5, True, False)
+    ref = L_BFGS_B_optimize(model, t, y, cw, pw, loss_fn=lool_fn)
+    lanes = Fused_L_BFGS_B_optimize(model, t, y, cw, pw, engine="lanes")
+    pallas = Fused_L_BFGS_B_optimize(
+        model, t, y, cw, pw, engine="pallas", interpret=True
+    )
+    ls_ref = float(ref.kernel.deformation.length_scale())
+    for opt in (lanes, pallas):
+        np.testing.assert_allclose(
+            float(opt.kernel.deformation.length_scale()), ls_ref, rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            float(opt.noise()), float(ref.noise()), rtol=1e-2
+        )
+
+
+def test_fused_chassis_falls_back_on_free_smoothness(rng):
+    from muygpys_tpu.optimize import Fused_L_BFGS_B_optimize
+
+    _, t, y, cw, pw = _problem(rng, 1.5, False, False)
+    model = MuyGPS(
+        kernel=Matern(
+            smoothness=Parameter(1.0, (0.2, 3.0)),
+            deformation=Isotropy(l2, length_scale=Parameter(0.4, (0.01, 5.0))),
+        ),
+        noise=HomoscedasticNoise(1e-3),
+    )
+    opt = Fused_L_BFGS_B_optimize(model, t, y, cw, pw, engine="pallas")
+    assert np.isfinite(float(opt.kernel.smoothness()))
