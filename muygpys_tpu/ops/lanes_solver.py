@@ -26,13 +26,18 @@ import jax.numpy as jnp
 def cholesky_bl(K: jnp.ndarray) -> jnp.ndarray:
     """Lower Cholesky factor of SPD ``K`` with shape ``(n, n, B)``.
 
-    The pivot is floored at a dtype epsilon (unit-prior-diagonal scale):
-    at f32, a neighborhood whose kernel matrix is numerically singular
-    otherwise yields sqrt(negative) and a NaN that poisons the whole batch
-    — under LOO optimization that NaN-cliffs the objective and silently
-    aborts the line search.  Where the floor is active the factor is a
-    nearby PSD surrogate: the objective stays finite (and large), gradients
-    stay finite, and the optimizer retreats smoothly.
+    Modified-Cholesky step for numerically singular neighborhoods: at f32 a
+    non-positive pivot otherwise yields sqrt(negative) and a NaN that
+    poisons the whole batch — under LOO optimization that NaN-cliffs the
+    objective and silently aborts the line search.  Flooring the pivot alone
+    is NOT enough: dividing the column by the tiny floored sqrt amplifies
+    the sub-diagonal entries ~1/sqrt(floor)x and the trailing updates
+    overflow f32 to inf.  So where the floor activates, the sub-diagonal
+    column is also zeroed (Gill–Murray-style: row/col j of K is replaced by
+    a diagonal spike, leaving the trailing submatrix untouched).  The factor
+    is a nearby PSD surrogate: the objective stays finite (and large, since
+    the tiny pivot inflates the solves), gradients stay finite, and the
+    optimizer retreats smoothly.
     """
     n = K.shape[0]
     pivot_floor = 10.0 * jnp.finfo(K.dtype).eps
@@ -43,9 +48,10 @@ def cholesky_bl(K: jnp.ndarray) -> jnp.ndarray:
             Lj = jnp.stack([cols[k][j] for k in range(j)])  # (j, B)
             Lpre = jnp.stack(cols, axis=1)  # (n, j, B)
             c = c - jnp.einsum("ikb,kb->ib", Lpre, Lj)
-        c = c.at[j].set(jnp.maximum(c[j], pivot_floor))
-        d = jnp.sqrt(c[j])
-        col = c / d
+        bad = (c[j] < pivot_floor)[None, :]  # (1, B) lanes needing surrogate
+        d = jnp.sqrt(jnp.maximum(c[j], pivot_floor))
+        col = jnp.where(bad, 0.0, c / d)
+        col = col.at[j].set(d)
         mask = (jnp.arange(n) >= j)[:, None]
         cols.append(jnp.where(mask, col, 0.0))
     return jnp.stack(cols, axis=1)  # (n, n, B)

@@ -74,8 +74,10 @@ def _kernel_and_deriv(u, smoothness):
 def _chol_bl(K, n):
     """Unrolled right-looking Cholesky, batch on lanes.  K (n,n,TB).
 
-    Pivot floored at a dtype epsilon so numerically singular neighborhoods
-    give a finite nearby-PSD factor instead of NaN-cliffing the objective
+    Modified-Cholesky step for numerically singular neighborhoods: the
+    pivot is floored at a dtype epsilon AND, where the floor activates, the
+    sub-diagonal column is zeroed — flooring alone divides the column by
+    the tiny floored sqrt and the trailing updates overflow f32 to inf
     (see ops/lanes_solver.cholesky_bl)."""
     pivot_floor = 10.0 * jnp.finfo(K.dtype).eps
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
@@ -85,9 +87,10 @@ def _chol_bl(K, n):
         if j > 0:
             Lpre = jnp.stack(cols, axis=1)  # (n, j, TB)
             c = c - jnp.sum(Lpre * Lpre[j][None, :, :], axis=1)
-        c = jnp.where(iota == j, jnp.maximum(c, pivot_floor), c)
-        d = jnp.sqrt(c[j])
-        colv = c / d
+        bad = (c[j] < pivot_floor)[None, :]  # (1, TB)
+        d = jnp.sqrt(jnp.maximum(c[j], pivot_floor))
+        colv = jnp.where(bad, 0.0, c / d)
+        colv = jnp.where(iota == j, d[None, :], colv)
         cols.append(jnp.where(iota >= j, colv, 0.0))
     return jnp.stack(cols, axis=1)  # (n, n, TB)
 
