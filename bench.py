@@ -59,19 +59,41 @@ def _pallas_available() -> bool:
             env=env,
             cwd=REPO_ROOT,
         )
-        return "PALLAS_OK" in out.stdout
-    except (subprocess.TimeoutExpired, OSError):
+        if "PALLAS_OK" not in out.stdout:
+            # make silent fallback visible: a demotion to the XLA path
+            # costs ~12x, so the reason must be in the log
+            print(
+                f"bench: pallas probe failed rc={out.returncode} "
+                f"stderr_tail={out.stderr[-2000:]!r}",
+                file=sys.stderr,
+            )
+            return False
+        return True
+    except subprocess.TimeoutExpired:
+        print(
+            f"bench: pallas probe timed out after {PROBE_TIMEOUT_S}s "
+            "(cold Mosaic compile; run scripts/warm_pallas_cache.py)",
+            file=sys.stderr,
+        )
+        return False
+    except OSError as err:
+        print(f"bench: pallas probe failed to spawn: {err}", file=sys.stderr)
         return False
 
 
 def main():
     sys.path.insert(0, REPO_ROOT)
+    # Probe BEFORE the parent touches JAX: the subprocess must also acquire
+    # the accelerator to compile, which fails on runtimes with exclusive
+    # device acquisition if the parent already holds it.
+    use_pallas = _pallas_available()
+
     from muygpys_tpu.performance import headline as h
 
     h.enable_persistent_cache(REPO_ROOT)
     inputs = h.make_inputs()
 
-    if _pallas_available():
+    if use_pallas:
         best = h.measure(h.pallas_loop, inputs)
     else:
         best = h.measure(h.xla_loop, inputs)

@@ -9,7 +9,7 @@ GP solves where every neighbor agrees).
 from __future__ import annotations
 
 from time import perf_counter
-from typing import Dict, List, Tuple, Union
+from typing import Dict, List, Optional, Tuple, Union
 
 import jax.numpy as jnp
 import numpy as np
@@ -36,9 +36,13 @@ def make_classifier(
     k_kwargs: Dict = None,
     nn_kwargs: Dict = None,
     opt_kwargs: Dict = None,
+    rng: Optional[np.random.Generator] = None,
     verbose: bool = False,
 ) -> Tuple[MuyGPS, NN_Wrapper]:
-    """Build a KNN index + (optionally optimized) surrogate classifier."""
+    """Build a KNN index + (optionally optimized) surrogate classifier.
+
+    ``rng`` seeds the batch sampling so workflows are reproducible and
+    independent of global RNG state."""
     train_features = np.asarray(train_features)
     train_labels = np.asarray(train_labels)
     time_start = perf_counter()
@@ -50,7 +54,7 @@ def make_classifier(
     if not muygps.fixed():
         labels = np.argmax(train_labels, axis=1)
         batch_indices, batch_nn_indices = get_balanced_batch(
-            nbrs_lookup, labels, batch_count
+            nbrs_lookup, labels, batch_count, rng=rng
         )
         crosswise, pairwise, batch_targets, batch_nn_targets = (
             muygps.make_train_tensors(
@@ -85,6 +89,7 @@ def make_multivariate_classifier(
     k_args: Union[List[Dict], Tuple[Dict, ...]] = None,
     nn_kwargs: Dict = None,
     opt_kwargs: Dict = None,
+    rng: Optional[np.random.Generator] = None,
     verbose: bool = False,
 ) -> Tuple[MultivariateMuyGPS, NN_Wrapper]:
     """Per-class-column optimized multivariate surrogate classifier."""
@@ -102,7 +107,7 @@ def make_multivariate_classifier(
 
     labels = np.argmax(train_labels, axis=1)
     batch_indices, batch_nn_indices = get_balanced_batch(
-        nbrs_lookup, labels, batch_count
+        nbrs_lookup, labels, batch_count, rng=rng
     )
     crosswise, pairwise, batch_targets, batch_nn_targets = (
         mmuygps.make_train_tensors(
@@ -135,6 +140,7 @@ def _decide_and_make_classifier(
     k_kwargs=None,
     nn_kwargs: Dict = None,
     opt_kwargs: Dict = None,
+    rng: Optional[np.random.Generator] = None,
     verbose: bool = False,
 ):
     if isinstance(k_kwargs, (list, tuple)):
@@ -142,13 +148,13 @@ def _decide_and_make_classifier(
             train_features, train_labels, nn_count=nn_count,
             batch_count=batch_count, loss_fn=loss_fn, opt_fn=opt_fn,
             k_args=k_kwargs, nn_kwargs=nn_kwargs, opt_kwargs=opt_kwargs,
-            verbose=verbose,
+            rng=rng, verbose=verbose,
         )
     return make_classifier(
         train_features, train_labels, nn_count=nn_count,
         batch_count=batch_count, loss_fn=loss_fn, opt_fn=opt_fn,
         k_kwargs=k_kwargs, nn_kwargs=nn_kwargs, opt_kwargs=opt_kwargs,
-        verbose=verbose,
+        rng=rng, verbose=verbose,
     )
 
 
@@ -163,6 +169,7 @@ def do_classify(
     k_kwargs=None,
     nn_kwargs: Dict = None,
     opt_kwargs: Dict = None,
+    rng: Optional[np.random.Generator] = None,
     verbose: bool = False,
 ) -> Tuple[
     Union[MuyGPS, MultivariateMuyGPS], NN_Wrapper, np.ndarray
@@ -172,7 +179,7 @@ def do_classify(
         train_features, train_labels, nn_count=nn_count,
         batch_count=batch_count, loss_fn=loss_fn, opt_fn=opt_fn,
         k_kwargs=k_kwargs, nn_kwargs=nn_kwargs, opt_kwargs=opt_kwargs,
-        verbose=verbose,
+        rng=rng, verbose=verbose,
     )
     surrogate_predictions, pred_timing = classify_any(
         classifier, test_features, train_features, nbrs_lookup, train_labels

@@ -8,7 +8,7 @@ API parity: reference ``examples/regress.py`` (``make_regressor`` :34,
 from __future__ import annotations
 
 from time import perf_counter
-from typing import Dict, List, Tuple, Union
+from typing import Dict, List, Optional, Tuple, Union
 
 import jax.numpy as jnp
 import numpy as np
@@ -35,9 +35,13 @@ def make_regressor(
     k_kwargs: Dict = None,
     nn_kwargs: Dict = None,
     opt_kwargs: Dict = None,
+    rng: Optional[np.random.Generator] = None,
     verbose: bool = False,
 ) -> Tuple[MuyGPS, NN_Wrapper]:
-    """Build a KNN index + (optionally optimized) MuyGPS regressor."""
+    """Build a KNN index + (optionally optimized) MuyGPS regressor.
+
+    ``rng`` seeds the batch sampling so workflows are reproducible and
+    independent of global RNG state."""
     train_features = np.asarray(train_features)
     train_targets = np.asarray(train_targets)
     train_count = train_features.shape[0]
@@ -53,7 +57,7 @@ def make_regressor(
     skip_opt = muygps.fixed()
     if not skip_opt or muygps.scale.__class__.__name__ != "FixedScale":
         batch_indices, batch_nn_indices = sample_batch(
-            nbrs_lookup, batch_count, train_count
+            nbrs_lookup, batch_count, train_count, rng=rng
         )
         crosswise, pairwise, batch_targets, batch_nn_targets = (
             muygps.make_train_tensors(
@@ -97,6 +101,7 @@ def make_multivariate_regressor(
     k_args: Union[List[Dict], Tuple[Dict, ...]] = None,
     nn_kwargs: Dict = None,
     opt_kwargs: Dict = None,
+    rng: Optional[np.random.Generator] = None,
     verbose: bool = False,
 ) -> Tuple[MultivariateMuyGPS, NN_Wrapper]:
     """Build a KNN index + per-response-dimension optimized models."""
@@ -114,7 +119,7 @@ def make_multivariate_regressor(
     mmuygps = MultivariateMuyGPS(*k_args)
 
     batch_indices, batch_nn_indices = sample_batch(
-        nbrs_lookup, batch_count, train_count
+        nbrs_lookup, batch_count, train_count, rng=rng
     )
     crosswise, pairwise, batch_targets, batch_nn_targets = (
         mmuygps.make_train_tensors(
@@ -148,6 +153,7 @@ def _decide_and_make_regressor(
     k_kwargs=None,
     nn_kwargs: Dict = None,
     opt_kwargs: Dict = None,
+    rng: Optional[np.random.Generator] = None,
     verbose: bool = False,
 ):
     if isinstance(k_kwargs, (list, tuple)):
@@ -155,13 +161,13 @@ def _decide_and_make_regressor(
             train_features, train_targets, nn_count=nn_count,
             batch_count=batch_count, loss_fn=loss_fn, opt_fn=opt_fn,
             k_args=k_kwargs, nn_kwargs=nn_kwargs, opt_kwargs=opt_kwargs,
-            verbose=verbose,
+            rng=rng, verbose=verbose,
         )
     return make_regressor(
         train_features, train_targets, nn_count=nn_count,
         batch_count=batch_count, loss_fn=loss_fn, opt_fn=opt_fn,
         k_kwargs=k_kwargs, nn_kwargs=nn_kwargs, opt_kwargs=opt_kwargs,
-        verbose=verbose,
+        rng=rng, verbose=verbose,
     )
 
 
@@ -176,6 +182,7 @@ def do_regress(
     k_kwargs=None,
     nn_kwargs: Dict = None,
     opt_kwargs: Dict = None,
+    rng: Optional[np.random.Generator] = None,
     verbose: bool = False,
 ) -> Tuple[
     Union[MuyGPS, MultivariateMuyGPS], NN_Wrapper, np.ndarray, np.ndarray
@@ -185,7 +192,7 @@ def do_regress(
         train_features, train_targets, nn_count=nn_count,
         batch_count=batch_count, loss_fn=loss_fn, opt_fn=opt_fn,
         k_kwargs=k_kwargs, nn_kwargs=nn_kwargs, opt_kwargs=opt_kwargs,
-        verbose=verbose,
+        rng=rng, verbose=verbose,
     )
     posterior_mean, posterior_variance, pred_timing = regress_any(
         regressor, test_features, train_features, nbrs_lookup, train_targets

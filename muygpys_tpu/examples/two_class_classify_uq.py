@@ -10,7 +10,7 @@ Implements the UQ workflow of [muyskens2021star].
 from __future__ import annotations
 
 from time import perf_counter
-from typing import Callable, Dict, List, Tuple, Union
+from typing import Callable, Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
@@ -61,15 +61,19 @@ def do_classify_uq(
     k_kwargs: Dict = None,
     nn_kwargs: Dict = None,
     opt_kwargs: Dict = None,
+    rng: Optional[np.random.Generator] = None,
     verbose: bool = False,
 ) -> Tuple[MuyGPS, NN_Wrapper, np.ndarray, np.ndarray]:
-    """Two-class surrogate classification with tuned CI cutoffs."""
+    """Two-class surrogate classification with tuned CI cutoffs.
+
+    ``rng`` seeds BOTH the optimization batch and the UQ calibration batch,
+    making the workflow reproducible regardless of global RNG state."""
     train_labels = np.asarray(train_labels)
     muygps, nbrs_lookup = make_classifier(
         train_features, train_labels, nn_count=nn_count,
         batch_count=opt_batch_count, loss_fn=loss_fn, opt_fn=opt_fn,
         k_kwargs=k_kwargs, nn_kwargs=nn_kwargs, opt_kwargs=opt_kwargs,
-        verbose=verbose,
+        rng=rng, verbose=verbose,
     )
 
     surrogate_predictions, variances, pred_timing = classify_two_class_uq(
@@ -83,7 +87,7 @@ def do_classify_uq(
 
     one_hot_labels = 2 * np.argmax(train_labels, axis=1) - 1
     batch_indices, batch_nn_indices = get_balanced_batch(
-        nbrs_lookup, one_hot_labels, uq_batch_count
+        nbrs_lookup, one_hot_labels, uq_batch_count, rng=rng
     )
     time_uq_batch = perf_counter()
 

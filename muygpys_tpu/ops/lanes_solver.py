@@ -38,9 +38,17 @@ def cholesky_bl(K: jnp.ndarray) -> jnp.ndarray:
     is a nearby PSD surrogate: the objective stays finite (and large, since
     the tiny pivot inflates the solves), gradients stay finite, and the
     optimizer retreats smoothly.
+
+    The floor is *relative* — ``10 eps * mean(diag K)`` per lane — so it
+    behaves identically for kernels scaled far from unit prior variance
+    (an absolute ``10 eps`` floor would floor every pivot of a uniformly
+    tiny-scale K, or miss degeneracy in a large-scale one).
     """
     n = K.shape[0]
-    pivot_floor = 10.0 * jnp.finfo(K.dtype).eps
+    diag_scale = sum(K[j, j, :] for j in range(n)) / n  # (B,)
+    pivot_floor = 10.0 * jnp.finfo(K.dtype).eps * jnp.maximum(
+        diag_scale, jnp.finfo(K.dtype).tiny
+    )
     cols = []
     for j in range(n):
         c = K[:, j, :]  # (n, B)

@@ -1,5 +1,10 @@
 from muygpys_tpu.parallel.knn import sharded_knn
-from muygpys_tpu.parallel.mesh import initialize_distributed, make_mesh
+from muygpys_tpu.parallel.mesh import (
+    initialize_distributed,
+    local_chunk_slice,
+    make_hybrid_mesh,
+    make_mesh,
+)
 from muygpys_tpu.parallel.sharding import (
     batch_spec,
     even_batch,
@@ -14,6 +19,8 @@ __all__ = [
     "even_batch",
     "gather_global",
     "initialize_distributed",
+    "local_chunk_slice",
+    "make_hybrid_mesh",
     "make_mesh",
     "replicate",
     "shard",

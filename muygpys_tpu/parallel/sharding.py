@@ -26,12 +26,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def batch_spec(mesh: Mesh, ndim: int, axis_name: str = "batch"):
-    """PartitionSpec sharding the leading dim, replicating the rest."""
-    return P(axis_name, *([None] * (ndim - 1)))
+def batch_spec(mesh: Mesh, ndim: int, axis_name: Optional[str] = None):
+    """PartitionSpec sharding the leading dim, replicating the rest.
+
+    On a 1-D mesh the batch is sharded over its single axis; on a hybrid
+    ``(dcn, ici)`` mesh (``mesh.make_hybrid_mesh``) the batch is sharded over
+    *both* axes jointly so XLA can reduce hierarchically (ICI first, then
+    DCN)."""
+    if axis_name is None:
+        names = tuple(mesh.axis_names)
+        lead = names[0] if len(names) == 1 else names
+    else:
+        lead = axis_name
+    return P(lead, *([None] * (ndim - 1)))
 
 
-def shard(x, mesh: Mesh, axis_name: str = "batch"):
+def shard(x, mesh: Mesh, axis_name: Optional[str] = None):
     """Place an array with its leading (batch) axis sharded over the mesh."""
     x = jnp.asarray(x)
     sharding = NamedSharding(mesh, batch_spec(mesh, x.ndim, axis_name))
@@ -44,7 +54,7 @@ def replicate(x, mesh: Mesh):
     return jax.device_put(x, NamedSharding(mesh, P()))
 
 
-def shard_batch(tensors, mesh: Mesh, axis_name: str = "batch"):
+def shard_batch(tensors, mesh: Mesh, axis_name: Optional[str] = None):
     """Shard every tensor in a tuple/list along its leading axis."""
     return type(tensors)(shard(t, mesh, axis_name) for t in tensors)
 

@@ -148,15 +148,16 @@ class TestClassifyUQ:
             do_uq,
         )
 
-        # own seed: the ambiguous-vs-unambiguous accuracy property below is
-        # statistical, and the module-scoped rng's state depends on which
-        # tests ran before this one in the module
+        # own seed for BOTH the dataset and the workflow's internal batch
+        # sampling: the ambiguous-vs-unambiguous accuracy property below is
+        # statistical and must not depend on which tests ran first
         xtr, ytr, xte, yte = _two_class_data(np.random.default_rng(7))
         model, nbrs, preds, masks = do_classify_uq(
             xte, xtr, ytr,
             nn_count=20,
             opt_batch_count=150,
             uq_batch_count=300,
+            rng=np.random.default_rng(11),
             k_kwargs={
                 "kernel": RBF(
                     deformation=Isotropy(
