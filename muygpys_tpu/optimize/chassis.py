@@ -12,8 +12,14 @@ TPU deltas:
   pipeline (kernel -> Cholesky -> loss) — the reference is derivative-free
   even on its jax backend (scipy's internal finite differences; 2d+1
   objective evaluations per step).
-- An additional first-class ``Adam_optimize`` runs optax Adam with
-  bound-projection — the natural shape for mini-batch/epoch training loops.
+- Gradient chassis optimize in **unconstrained space** via the scaled-sigmoid
+  box bijector (:mod:`muygpys_tpu.optimize.bijectors`, SURVEY §7 delta 2):
+  the reference enforces its box bounds through L-BFGS-B itself
+  (``_src/optimize/chassis/numpy.py:57-81``); here validity is structural,
+  so no optimizer step can ever propose a negative nugget.
+- An additional first-class ``Adam_optimize`` runs optax Adam as ONE jitted
+  ``lax.scan`` program (no per-step host sync) — the natural shape for
+  mini-batch/epoch training loops.
 """
 
 from __future__ import annotations
@@ -25,6 +31,7 @@ import jax
 import numpy as np
 
 from muygpys_tpu.gp import MuyGPS
+from muygpys_tpu.optimize import bijectors
 from muygpys_tpu.optimize.bayes import BayesianOptimization
 from muygpys_tpu.optimize.loss import LossFn, lool_fn
 from muygpys_tpu.optimize.objective import make_loo_crossval_fn
@@ -55,17 +62,18 @@ def _get_opt_lists(muygps: MuyGPS, verbose: bool = False):
     return x0_names, x0, bounds
 
 
-def _jit_value_and_grad(obj_fn: Callable, x0_names: List[str]):
-    """Compile obj(**kwargs) into value+grad over an array of free params."""
+def _jit_value_and_grad_z(obj_fn: Callable, x0_names: List[str], bounds):
+    """Compile obj(**theta(z)) into value+grad over an array of z params."""
+    to_theta, _ = bijectors.make_param_bijector(x0_names, bounds)
 
-    def dict_obj(pdict):
-        return obj_fn(**pdict)
+    def dict_obj(zdict):
+        return obj_fn(**to_theta(zdict))
 
     vag = jax.jit(jax.value_and_grad(dict_obj))
 
-    def array_value_and_grad(x):
-        pdict = {n: x[i] for i, n in enumerate(x0_names)}
-        val, grads = vag(pdict)
+    def array_value_and_grad(z):
+        zdict = {n: z[i] for i, n in enumerate(x0_names)}
+        val, grads = vag(zdict)
         g = np.array([float(grads[n]) for n in x0_names])
         return float(val), g
 
@@ -75,22 +83,25 @@ def _jit_value_and_grad(obj_fn: Callable, x0_names: List[str]):
 def _scipy_optimize(
     muygps: MuyGPS, obj_fn: Callable, verbose: bool = False, **kwargs
 ) -> MuyGPS:
-    """L-BFGS-B with exact JAX gradients (FD fallback on NaN gradients)."""
+    """L-BFGS-B in unconstrained z-space with exact JAX gradients
+    (FD fallback on NaN gradients)."""
     from scipy import optimize as opt
 
     x0_names, x0, bounds = _get_opt_lists(muygps, verbose=verbose)
+    lo, hi = bounds[:, 0], bounds[:, 1]
+    z0 = bijectors.inverse_np(x0, lo, hi)
 
     try:
-        vag = _jit_value_and_grad(obj_fn, x0_names)
-        val, g = vag(x0)
+        vag = _jit_value_and_grad_z(obj_fn, x0_names, bounds)
+        val, g = vag(z0)
         use_grad = np.all(np.isfinite(g)) and np.isfinite(val)
     except Exception:
         use_grad = False
 
     if use_grad:
 
-        def fun(x):
-            v, g = vag(x)
+        def fun(z):
+            v, g = vag(z)
             if not (np.isfinite(v) and np.all(np.isfinite(g))):
                 # f32 Cholesky goes NaN where the proposal makes a
                 # neighborhood matrix numerically singular; a large finite
@@ -100,19 +111,21 @@ def _scipy_optimize(
             return -v, -g
 
         optres = opt.minimize(
-            fun, x0, method="L-BFGS-B", jac=True, bounds=bounds, **kwargs
+            fun, z0, method="L-BFGS-B", jac=True, **kwargs
         )
     else:
 
-        def fun(x):
-            return -float(obj_fn(**{n: x[i] for i, n in enumerate(x0_names)}))
+        def fun(z):
+            theta = bijectors.forward_np(z, lo, hi)
+            return -float(
+                obj_fn(**{n: theta[i] for i, n in enumerate(x0_names)})
+            )
 
-        optres = opt.minimize(
-            fun, x0, method="L-BFGS-B", bounds=bounds, **kwargs
-        )
+        optres = opt.minimize(fun, z0, method="L-BFGS-B", **kwargs)
     if verbose:
         print(f"optimizer results: \n{optres}")
-    ret_dict = {n: optres.x[i] for i, n in enumerate(x0_names)}
+    theta = bijectors.forward_np(optres.x, lo, hi)
+    ret_dict = {n: theta[i] for i, n in enumerate(x0_names)}
     return _new_muygps(muygps, x0_names, bounds, ret_dict)
 
 
@@ -154,33 +167,46 @@ def _adam_optimize(
     n_iter: int = 200,
     **kwargs,
 ) -> MuyGPS:
-    """Projected Adam ascent on the jit+grad objective."""
+    """Adam ascent in unconstrained z-space as ONE jitted ``lax.scan``.
+
+    The whole ``n_iter``-step trajectory is a single compiled program: no
+    per-step host sync (the round 1 version paid a ~33 ms relay round-trip
+    per step for a host-side clip), and no projection — the bijector makes
+    bound violations structurally impossible.
+    """
     import optax
 
     x0_names, x0, bounds = _get_opt_lists(muygps, verbose=verbose)
+    to_theta, to_z = bijectors.make_param_bijector(x0_names, bounds)
 
-    def dict_obj(pdict):
-        return obj_fn(**pdict)
+    def neg_obj(zdict):
+        return -obj_fn(**to_theta(zdict))
 
-    vag = jax.jit(jax.value_and_grad(dict_obj))
-    params = {n: x0[i] for i, n in enumerate(x0_names)}
-    lo = {n: bounds[i, 0] for i, n in enumerate(x0_names)}
-    hi = {n: bounds[i, 1] for i, n in enumerate(x0_names)}
+    vg = jax.value_and_grad(neg_obj)
     tx = optax.adam(learning_rate)
-    state = tx.init(params)
-    for it in range(n_iter):
-        val, grads = vag(params)
-        neg = {n: -g for n, g in grads.items()}
-        updates, state = tx.update(neg, state)
-        params = optax.apply_updates(params, updates)
-        params = {
-            n: float(np.clip(params[n], lo[n], hi[n])) for n in params
-        }
-        if verbose and it % 20 == 0:
-            print(f"adam iter {it}: obj={float(val):.6g} params={params}")
-    return _new_muygps(muygps, x0_names, np.asarray(
-        [[lo[n], hi[n]] for n in x0_names]
-    ), params)
+    z0 = to_z({n: x0[i] for i, n in enumerate(x0_names)})
+
+    @jax.jit
+    def run(z):
+        state = tx.init(z)
+
+        def step(carry, _):
+            z, state = carry
+            val, grads = vg(z)
+            updates, state = tx.update(grads, state)
+            z = optax.apply_updates(z, updates)
+            return (z, state), val
+
+        (z, _), vals = jax.lax.scan(step, (z, state), None, length=n_iter)
+        return z, vals
+
+    z_final, vals = run(z0)
+    if verbose:
+        vals = np.asarray(vals)
+        for it in range(0, n_iter, max(1, n_iter // 10)):
+            print(f"adam iter {it}: obj={-vals[it]:.6g}")
+    params = {n: float(v) for n, v in to_theta(z_final).items()}
+    return _new_muygps(muygps, x0_names, bounds, params)
 
 
 class OptimizeFn:

@@ -24,6 +24,7 @@ import jax
 import numpy as np
 
 from muygpys_tpu.gp.muygps import MuyGPS
+from muygpys_tpu.optimize import bijectors
 from muygpys_tpu.optimize.chassis import _get_opt_lists, _new_muygps
 from muygpys_tpu.optimize.fast_objective import make_fast_loo_objective
 
@@ -80,19 +81,40 @@ def Fused_L_BFGS_B_optimize(
         )
         vag = jax.jit(jax.value_and_grad(obj_fn))
 
-    def fun(x):
-        v, g = vag({n: x[i] for i, n in enumerate(x0_names)})
-        fv = float(v)
-        gv = np.array([float(g.get(n, 0.0)) for n in x0_names])
-        if not (np.isfinite(fv) and np.all(np.isfinite(gv))):
-            # NaN-safe line search: see chassis._scipy_optimize
-            return 1e12, np.zeros_like(gv)
-        return -fv, -gv
+    # probe at x0 on EVERY engine: with a non-finite initial objective the
+    # NaN-safe `fun` below would return (1e12, 0) and L-BFGS-B would
+    # immediately "converge" at x0, silently returning the unoptimized model
+    v0, g0 = vag({n: x0[i] for i, n in enumerate(x0_names)})
+    if not (
+        np.isfinite(float(v0))
+        and all(np.isfinite(float(g0.get(n, 0.0))) for n in x0_names)
+    ):
+        raise ValueError(
+            f"fused objective is non-finite at the initial point "
+            f"(value={float(v0)!r}); check the model's initial "
+            "hyperparameters, or use the generic L_BFGS_B_optimize chassis "
+            "(it falls back to derivative-free search)"
+        )
 
-    optres = opt.minimize(
-        fun, x0, method="L-BFGS-B", jac=True, bounds=bounds, **kwargs
-    )
+    # optimize in unconstrained z-space (bijector chain rule applied to the
+    # engines' theta-space gradients on the host; chassis.py rationale)
+    lo, hi = bounds[:, 0], bounds[:, 1]
+    z0 = bijectors.inverse_np(x0, lo, hi)
+
+    def fun(z):
+        theta = bijectors.forward_np(z, lo, hi)
+        v, g = vag({n: theta[i] for i, n in enumerate(x0_names)})
+        fv = float(v)
+        gt = np.array([float(g.get(n, 0.0)) for n in x0_names])
+        gz = gt * bijectors.dforward_dz_np(z, lo, hi)
+        if not (np.isfinite(fv) and np.all(np.isfinite(gz))):
+            # NaN-safe line search: see chassis._scipy_optimize
+            return 1e12, np.zeros_like(gz)
+        return -fv, -gz
+
+    optres = opt.minimize(fun, z0, method="L-BFGS-B", jac=True, **kwargs)
     if verbose:
         print(f"optimizer results: \n{optres}")
-    ret = {n: optres.x[i] for i, n in enumerate(x0_names)}
+    theta = bijectors.forward_np(optres.x, lo, hi)
+    ret = {n: theta[i] for i, n in enumerate(x0_names)}
     return _new_muygps(muygps, x0_names, bounds, ret)
