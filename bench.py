@@ -1,15 +1,21 @@
 """Headline benchmark: posterior predictions/sec on one chip.
 
-Times the fused nearest-neighborhood serve path — Matern kernel -> nugget ->
-batched Cholesky -> posterior mean and variance — preferring the single
-fused Pallas kernel (:mod:`muygpys_tpu.pallas.fused_predict`) and falling
-back to the lane-layout XLA program (:mod:`muygpys_tpu.ops.lanes_solver`)
-if the Pallas executable is not already cached.  Mosaic compilation of the
-Pallas kernel costs ~10 minutes cold through the remote-compile tunnel, so
-this script first probes compile time in a subprocess with a timeout; the
-repo ships a persistent compilation cache (.jax_cache, created by
-``scripts/warm_pallas_cache.py``) that makes the probe a few-second cache
-hit in the expected case.
+Primary metric: the fused coordinate-streaming serve kernel
+(:func:`muygpys_tpu.pallas.fused_predict.fused_predict_coords_bl`) — the
+production FastServer path: distance assembly + Matern kernel + nugget +
+batched Cholesky + posterior mean/variance in ONE VMEM pass, hyperparameters
+traced (no per-model recompile).  Falls back to the lane-layout XLA program
+(:mod:`muygpys_tpu.ops.lanes_solver`) if no Pallas executable is cached.
+
+Also measured and reported as an extra field: ``end_to_end_preds_per_sec`` —
+the full serving chain a user gets (on-device brute-force KNN over a 50k
+training set -> exact re-rank -> gather -> fused solve).
+
+Mosaic compilation costs ~10 minutes per program cold through the
+remote-compile tunnel, so this script first probes compile time in a
+subprocess with a timeout; ``scripts/warm_pallas_cache.py`` pre-fills the
+persistent compilation cache (.jax_cache) making the probe a few-second
+cache hit in the expected case.
 
 Timing methodology (honest in-loop protocol; details in PERF.md and
 :mod:`muygpys_tpu.performance.headline`): iterate inside one jitted
@@ -20,30 +26,35 @@ Baseline: the reference publishes no numbers (BASELINE.md); the driver's
 north-star target is >= 1e6 predictions/sec on a v5e-8 (8 chips), i.e. a
 125k/sec/chip share.  ``vs_baseline`` is measured value / 125000.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
+import functools
 import json
 import os
 import subprocess
 import sys
 
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
-PROBE_TIMEOUT_S = 240
+PROBE_TIMEOUT_S = 300
 
 
 def _pallas_available() -> bool:
     """Compile the Pallas loop programs in a subprocess with a timeout.
 
     A cache hit (persistent .jax_cache or the remote-compile service's own
-    cache) takes seconds; a cold Mosaic compile takes ~10 min and we don't
-    gamble the bench run on it.  On success the caches are warm, so the
-    in-process compile below is fast either way.
+    cache) takes seconds; a cold Mosaic compile takes ~10 min per program
+    and we don't gamble the bench run on it.  On success the caches are
+    warm, so the in-process compiles below are fast either way.
     """
     code = (
+        "import functools;"
         "import muygpys_tpu.performance.headline as h;"
         f"h.enable_persistent_cache({REPO_ROOT!r});"
-        "h.compile_loops(h.pallas_loop, h.make_inputs());"
+        "h.compile_loops(h.pallas_coords_loop, h.make_coords_inputs());"
+        "h.compile_loops("
+        "functools.partial(h.end_to_end_loop, use_pallas=True),"
+        "h.make_serve_inputs());"
         "print('PALLAS_OK')"
     )
     env = dict(os.environ)
@@ -91,14 +102,19 @@ def main():
     from muygpys_tpu.performance import headline as h
 
     h.enable_persistent_cache(REPO_ROOT)
-    inputs = h.make_inputs()
 
     if use_pallas:
-        best = h.measure(h.pallas_loop, inputs)
+        best = h.measure(h.pallas_coords_loop, h.make_coords_inputs())
     else:
-        best = h.measure(h.xla_loop, inputs)
-
+        best = h.measure(h.xla_loop, h.make_inputs())
     preds_per_sec = h.BATCH / best
+
+    e2e = h.measure(
+        functools.partial(h.end_to_end_loop, use_pallas=use_pallas),
+        h.make_serve_inputs(),
+    )
+    e2e_per_sec = h.BATCH / e2e
+
     print(
         json.dumps(
             {
@@ -106,6 +122,9 @@ def main():
                 "value": round(preds_per_sec, 1),
                 "unit": "predictions/sec",
                 "vs_baseline": round(preds_per_sec / 125000.0, 3),
+                "end_to_end_preds_per_sec": round(e2e_per_sec, 1),
+                "end_to_end_train_count": h.TRAIN_COUNT,
+                "engine": "pallas-coords" if use_pallas else "xla-lanes",
             }
         )
     )

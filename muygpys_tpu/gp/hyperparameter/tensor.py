@@ -38,6 +38,11 @@ class TensorParam:
     def fixed(self) -> bool:
         return True
 
+    def append_lists(self, names, params, bounds) -> None:
+        """Tensor parameters are always fixed: never on the opt surface
+        (reference ``gp/hyperparameter/tensor.py:108-116``)."""
+        return None
+
     def get_bounds(self) -> Tuple[float, float]:
         raise NotImplementedError(
             "TensorParam does not support optimization bounds"

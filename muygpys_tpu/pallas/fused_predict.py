@@ -1,20 +1,38 @@
-"""Pallas TPU kernel: fused MuyGPs posterior predict.
+"""Pallas TPU kernels: fused MuyGPs posterior predict.
 
 One kernel pass per batch tile computes, entirely in VMEM:
-distance scaling -> Matern kernel -> nugget -> unrolled Cholesky ->
+(distance assembly ->) kernel eval -> nugget -> unrolled Cholesky ->
 forward/backward triangular solves -> posterior mean and variance.
 
 Layout follows :mod:`muygpys_tpu.ops.lanes_solver`: batch on the lane axis
 (``pw (n, n, B)``), so every Cholesky step is a full-width vector op over a
-``TB``-lane tile.  HBM traffic is one read of (pw, cw, y) and one write of
-(mean, var) — the XLA batch-last version re-materializes the kernel matrix
-and factor between fused regions.  Measured 0.17 ms per (8192, 30) f32 batch
-on v5e (48.5M preds/sec/chip; PERF.md).
+``TB``-lane tile.
+
+Two entry points:
+
+- :func:`fused_predict_bl` — consumes pre-assembled *distance* tensors
+  (``pw (n, n, B)``).  HBM traffic is one read of (pw, cw, y) and one write
+  of (mean, var).
+- :func:`fused_predict_coords_bl` — consumes neighbor *coordinates*
+  (``nf (n, d, B)``) and queries (``q (d, B)``) and computes the crosswise/
+  pairwise distances in VMEM.  For the d << n feature counts MuyGPs runs at
+  (sky coords d=2, tutorials d=1) this cuts HBM bytes/prediction ~n/d x on a
+  bandwidth-bound kernel — the round-1 distance kernel measured ~21% of the
+  v5e HBM roofline; streaming coordinates raises the analytic ceiling ~15x
+  at (n=30, d=2).  Per-feature length scales fold anisotropy
+  (reference ``gp/deformation/anisotropy.py``) into the same kernel, and an
+  optional per-neighbor nugget tensor folds heteroscedastic noise
+  (reference ``_src/gp/noise/numpy.py:56-67``).
+
+Hyperparameters (length_scale(s), noise) are **traced SMEM scalars**, so ONE
+cached Mosaic executable serves every trained model of a given shape —
+round 1 baked them in as compile-time constants, costing a ~10-minute cold
+recompile per newly trained model.
 
 Contractions are written as explicit multiply+sum over leading axes (Mosaic
 does not lower arbitrary dot_general layouts with the batch on the lane
-axis).  Supports Matern smoothness in {1/2, 3/2, 5/2, inf} (static) and
-multivariate targets ``y (n, r, B)``.
+axis).  Supports Matern smoothness in {1/2, 3/2, 5/2, inf} and RBF (static)
+and multivariate targets ``y (n, r, B)``.
 """
 
 from __future__ import annotations
@@ -42,27 +60,17 @@ def _matern(d, smoothness):
         return (1.0 + t + t * t / 3.0) * jnp.exp(-t)
     if smoothness == math.inf:
         return jnp.exp(-(d * d) / 2.0)
+    if smoothness == "rbf":
+        # input is already the F2 distance scaled by 1/ls^2
+        return jnp.exp(-d / 2.0)
     raise ValueError(
-        f"pallas kernel supports smoothness 0.5/1.5/2.5/inf, got {smoothness}"
+        f"pallas kernel supports smoothness 0.5/1.5/2.5/inf/'rbf', "
+        f"got {smoothness}"
     )
 
 
-def _kernel_body(
-    inv_ls, noise, smoothness, pw_ref, cw_ref, y_ref, mean_ref, var_ref
-):
-    n = pw_ref.shape[0]
-    r = y_ref.shape[1]
-    pw = pw_ref[:]  # (n, n, TB)
-    cw = cw_ref[:]  # (n, TB)
-    y = y_ref[:]  # (n, r, TB)
-
-    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    eye = (row == col).astype(pw.dtype)[:, :, None]
-
-    K = _matern(pw * inv_ls, smoothness) + noise * eye  # (n, n, TB)
-    kc = _matern(cw * inv_ls, smoothness)  # (n, TB)
-
+def _solve_and_emit(K, kc, y, n, r, mean_ref, var_ref):
+    """Shared tail: Cholesky + substitutions + posterior mean/variance."""
     # unrolled right-looking Cholesky, batch on lanes
     cols = []
     for j in range(n):
@@ -97,25 +105,95 @@ def _kernel_body(
     var_ref[0, :] = 1.0 - jnp.sum(Zc * Zc, axis=0)
 
 
+def _kernel_body(
+    smoothness, metric_power, params_ref, pw_ref, cw_ref, y_ref,
+    mean_ref, var_ref,
+):
+    n = pw_ref.shape[0]
+    r = y_ref.shape[1]
+    ls = params_ref[0]
+    noise = params_ref[1]
+    pw = pw_ref[:]  # (n, n, TB)
+    cw = cw_ref[:]  # (n, TB)
+    y = y_ref[:]  # (n, r, TB)
+
+    inv = 1.0 / ls if metric_power == 1 else 1.0 / (ls * ls)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eye = (row == col).astype(pw.dtype)[:, :, None]
+
+    K = _matern(pw * inv, smoothness) + noise * eye  # (n, n, TB)
+    kc = _matern(cw * inv, smoothness)  # (n, TB)
+    _solve_and_emit(K, kc, y, n, r, mean_ref, var_ref)
+
+
+def _coords_body(
+    smoothness, metric_power, d_feat, hetero,
+    params_ref, nf_ref, q_ref, y_ref, *rest,
+):
+    if hetero:
+        eps_ref, mean_ref, var_ref = rest
+    else:
+        mean_ref, var_ref = rest
+    n = nf_ref.shape[0]
+    r = y_ref.shape[1]
+    nf = nf_ref[:]  # (n, d, TB)
+    q = q_ref[:]  # (d, TB)
+    y = y_ref[:]  # (n, r, TB)
+
+    # in-VMEM distance assembly with per-feature length scaling (anisotropy
+    # is the same program as isotropy with ls replicated across features)
+    acc_p = None
+    acc_c = None
+    for f in range(d_feat):
+        inv = 1.0 / params_ref[f]
+        xf = nf[:, f, :] * inv  # (n, TB)
+        qf = q[f][None, :] * inv  # (1, TB)
+        dp = xf[:, None, :] - xf[None, :, :]  # (n, n, TB)
+        dc = xf - qf  # (n, TB)
+        sq_p = dp * dp
+        sq_c = dc * dc
+        acc_p = sq_p if acc_p is None else acc_p + sq_p
+        acc_c = sq_c if acc_c is None else acc_c + sq_c
+    if metric_power == 1:
+        u_p = jnp.sqrt(acc_p)
+        u_c = jnp.sqrt(acc_c)
+    else:
+        u_p, u_c = acc_p, acc_c
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eye = (row == col).astype(nf.dtype)[:, :, None]
+
+    K = _matern(u_p, smoothness)
+    if hetero:
+        K = K + eye * eps_ref[:][:, None, :]  # per-neighbor nugget (n, TB)
+    else:
+        K = K + params_ref[d_feat] * eye
+    kc = _matern(u_c, smoothness)
+    _solve_and_emit(K, kc, y, n, r, mean_ref, var_ref)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "length_scale", "noise", "smoothness", "batch_tile", "interpret"
-    ),
+    static_argnames=("smoothness", "metric_power", "batch_tile", "interpret"),
 )
 def fused_predict_bl(
     pw: jnp.ndarray,
     cw: jnp.ndarray,
     y: jnp.ndarray,
-    length_scale: float,
-    noise: float,
-    smoothness: float = 1.5,
+    params: jnp.ndarray,
+    smoothness=1.5,
+    metric_power: int = 1,
     batch_tile: int = 256,
     interpret: bool = False,
 ):
     """Posterior (mean, var) from batch-last distance tensors via one Pallas
     kernel.  ``pw (n, n, B)``, ``cw (n, B)``, ``y (n, B)`` or ``(n, r, B)``;
-    B must divide by ``batch_tile``.  Unit prior variance (Kout = 1).
+    ``params = [length_scale, noise]`` (traced — one executable serves every
+    trained model).  B must be divisible by ``batch_tile``.  Unit prior
+    variance (Kout = 1).
 
     Returns mean ``(r, B)`` and variance ``(B,)``.
     """
@@ -124,17 +202,16 @@ def fused_predict_bl(
         y = y[:, None, :]
     r = y.shape[1]
     if B % batch_tile != 0:
-        raise ValueError(f"batch {B} must divide batch_tile {batch_tile}")
+        raise ValueError(f"batch_tile {batch_tile} must divide batch {B}")
     grid = (B // batch_tile,)
-    # serving constants are baked into the kernel (static under jit)
-    inv_ls = float(1.0 / length_scale)
-    noise = float(noise)
+    params = jnp.asarray(params, pw.dtype)
 
-    kernel = functools.partial(_kernel_body, inv_ls, noise, smoothness)
+    kernel = functools.partial(_kernel_body, smoothness, metric_power)
     mean, var = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params (2,)
             pl.BlockSpec(
                 (n, n, batch_tile), lambda i: (0, 0, i),
                 memory_space=pltpu.VMEM,
@@ -160,5 +237,90 @@ def fused_predict_bl(
             jax.ShapeDtypeStruct((1, B), pw.dtype),
         ),
         interpret=interpret,
-    )(pw, cw, y)
+    )(params, pw, cw, y)
+    return mean, var[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("smoothness", "metric_power", "batch_tile", "interpret"),
+)
+def fused_predict_coords_bl(
+    nf: jnp.ndarray,
+    q: jnp.ndarray,
+    y: jnp.ndarray,
+    params: jnp.ndarray,
+    noise_nn=None,
+    smoothness=1.5,
+    metric_power: int = 1,
+    batch_tile: int = 512,
+    interpret: bool = False,
+):
+    """Posterior (mean, var) streaming neighbor COORDINATES, not distances.
+
+    ``nf (n, d, B)`` neighbor features, ``q (d, B)`` query features,
+    ``y (n, B)`` or ``(n, r, B)`` neighbor targets,
+    ``params = [ls_0, ..., ls_{d-1}, noise]`` (traced; replicate a scalar
+    length scale across features for isotropy), optional
+    ``noise_nn (n, B)`` per-neighbor heteroscedastic nugget (replaces the
+    scalar noise when given).  ``metric_power`` 1 = l2, 2 = F2.
+
+    HBM bytes per prediction: ``(nd + d + nr) * 4`` vs the distance kernel's
+    ``(n^2 + n + nr) * 4`` — ~12x less at (n=30, d=2, r=1).
+
+    Returns mean ``(r, B)`` and variance ``(B,)``.
+    """
+    n, d_feat, B = nf.shape
+    if y.ndim == 2:
+        y = y[:, None, :]
+    r = y.shape[1]
+    if B % batch_tile != 0:
+        raise ValueError(f"batch_tile {batch_tile} must divide batch {B}")
+    grid = (B // batch_tile,)
+    params = jnp.asarray(params, nf.dtype)
+    hetero = noise_nn is not None
+
+    kernel = functools.partial(
+        _coords_body, smoothness, metric_power, d_feat, hetero
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # params (d+1,)
+        pl.BlockSpec(
+            (n, d_feat, batch_tile), lambda i: (0, 0, i),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (d_feat, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (n, r, batch_tile), lambda i: (0, 0, i),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    args = [params, nf, q, y]
+    if hetero:
+        in_specs.append(
+            pl.BlockSpec(
+                (n, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            )
+        )
+        args.append(jnp.asarray(noise_nn, nf.dtype))
+    mean, var = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(
+                (r, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, B), nf.dtype),
+            jax.ShapeDtypeStruct((1, B), nf.dtype),
+        ),
+        interpret=interpret,
+    )(*args)
     return mean, var[0]

@@ -75,11 +75,14 @@ def _chol_bl(K, n):
     """Unrolled right-looking Cholesky, batch on lanes.  K (n,n,TB).
 
     Modified-Cholesky step for numerically singular neighborhoods: the
-    pivot is floored at a dtype epsilon AND, where the floor activates, the
+    pivot is floored at a relative epsilon (10 eps * per-lane mean diagonal,
+    see ops/lanes_solver.cholesky_bl) AND, where the floor activates, the
     sub-diagonal column is zeroed — flooring alone divides the column by
-    the tiny floored sqrt and the trailing updates overflow f32 to inf
-    (see ops/lanes_solver.cholesky_bl)."""
-    pivot_floor = 10.0 * jnp.finfo(K.dtype).eps
+    the tiny floored sqrt and the trailing updates overflow f32 to inf."""
+    diag_scale = sum(K[j, j, :] for j in range(n)) / n  # (TB,)
+    pivot_floor = 10.0 * jnp.finfo(K.dtype).eps * jnp.maximum(
+        diag_scale, jnp.finfo(K.dtype).tiny
+    )
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     cols = []
     for j in range(n):
@@ -234,7 +237,7 @@ def fused_train_stats_bl(
     n, _, B = pw.shape
     r = y.shape[1]
     if B % batch_tile != 0:
-        raise ValueError(f"batch {B} must divide batch_tile {batch_tile}")
+        raise ValueError(f"batch_tile {batch_tile} must divide batch {B}")
     C = 3 * r + 5
     grid = (B // batch_tile,)
     kernel = functools.partial(

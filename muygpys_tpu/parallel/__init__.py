@@ -12,6 +12,8 @@ from muygpys_tpu.parallel.sharding import (
     replicate,
     shard,
     shard_batch,
+    shard_batch_global,
+    shard_global,
 )
 
 __all__ = [
@@ -26,4 +28,6 @@ __all__ = [
     "shard",
     "sharded_knn",
     "shard_batch",
+    "shard_batch_global",
+    "shard_global",
 ]

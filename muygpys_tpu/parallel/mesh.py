@@ -48,6 +48,12 @@ def initialize_distributed(**kwargs) -> bool:
     if jax.distributed.is_initialized():
         return True
     try:
+        # multi-process CPU (the local-cluster test topology, mirroring the
+        # reference's 4-local-rank MPI CI) needs a CPU collectives backend
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # noqa: BLE001 — option renamed/absent: keep default
+        pass
+    try:
         jax.distributed.initialize(**kwargs)
         return True
     except Exception as err:  # noqa: BLE001 — classify below

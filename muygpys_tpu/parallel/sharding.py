@@ -65,6 +65,32 @@ def even_batch(batch_count: int, mesh: Mesh) -> int:
     return (batch_count // n) * n
 
 
+def shard_global(x, mesh: Mesh, axis_name: Optional[str] = None):
+    """Multi-process-safe shard along the leading (batch) axis.
+
+    Every process passes the FULL (replicated) host array; each contributes
+    only its own row chunk to the global ``jax.Array``.  Single-process
+    meshes reduce to :func:`shard`.  This is the analogue of the reference's
+    rank-0 scatter (``_src/mpi_utils.py:56-71``) for data small enough to
+    replicate on hosts; shard the *source* reads instead when it is not.
+    """
+    import jax as _jax
+
+    from muygpys_tpu.parallel.mesh import local_chunk_slice
+
+    x = np.asarray(x)
+    sharding = NamedSharding(mesh, batch_spec(mesh, x.ndim, axis_name))
+    if _jax.process_count() == 1:
+        return _jax.device_put(jnp.asarray(x), sharding)
+    local = x[local_chunk_slice(x.shape[0], mesh)]
+    return _jax.make_array_from_process_local_data(sharding, local, x.shape)
+
+
+def shard_batch_global(tensors, mesh: Mesh, axis_name: Optional[str] = None):
+    """:func:`shard_global` over a tuple/list of tensors."""
+    return type(tensors)(shard_global(t, mesh, axis_name) for t in tensors)
+
+
 def gather_global(x) -> np.ndarray:
     """Materialize a (possibly sharded) array on the host — the analogue of
     the reference's test-only allgather (``_consistent_unchunk_tensor``)."""

@@ -26,6 +26,7 @@ import time
 import numpy as np
 
 BATCH, NN = 8192, 30
+D_FEAT = 2  # coords formulation: sky-survey-style 2-D features
 ITERS = 200
 LENGTH_SCALE = 0.5
 NOISE = 1e-3
@@ -61,21 +62,37 @@ def make_inputs():
     )
 
 
-def _loop(predict, iters):
+def make_coords_inputs():
+    """Batch-last neighbor coordinates + queries (f32), d=2 features —
+    the inputs of the coordinate-streaming serve kernel."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    nf = rng.uniform(size=(NN, D_FEAT, BATCH))
+    q = rng.uniform(size=(D_FEAT, BATCH))
+    targets = rng.standard_normal((NN, 1, BATCH))
+    return (
+        jnp.asarray(nf, jnp.float32),  # (nn, d, B)
+        jnp.asarray(q, jnp.float32),  # (d, B)
+        jnp.asarray(targets, jnp.float32),  # (nn, 1, B)
+    )
+
+
+def _loop(predict, iters, perturb_arg: int = 1):
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     @jax.jit
-    def loop(cw, pw, y):
-        # perturb pw per iteration: a loop-invariant Kin would let XLA hoist
-        # the kernel eval + factorization and overstate throughput
-        return lax.fori_loop(
-            0,
-            iters,
-            lambda i, acc: acc + predict(cw, pw * (1.0 + 1e-9 * i), y),
-            jnp.asarray(0.0, jnp.float32),
-        )
+    def loop(a, b, c):
+        # perturb one input per iteration: a loop-invariant Kin would let
+        # XLA hoist the kernel eval + factorization and overstate throughput
+        def body(i, acc):
+            args = [a, b, c]
+            args[perturb_arg] = args[perturb_arg] * (1.0 + 1e-9 * i)
+            return acc + predict(*args)
+
+        return lax.fori_loop(0, iters, body, jnp.asarray(0.0, jnp.float32))
 
     return loop
 
@@ -104,19 +121,114 @@ def pallas_loop(iters):
 
     from muygpys_tpu.pallas.fused_predict import fused_predict_bl
 
+    params = jnp.asarray([LENGTH_SCALE, NOISE], jnp.float32)
+
     def predict(cw, pw, y):
         mean, var = fused_predict_bl(
             pw,
             cw,
             y,
-            length_scale=LENGTH_SCALE,
-            noise=NOISE,
+            params,
             smoothness=SMOOTHNESS,
             batch_tile=BATCH_TILE,
         )
         return jnp.sum(mean) + jnp.sum(var)
 
     return _loop(predict, iters)
+
+
+def pallas_coords_loop(iters):
+    import jax.numpy as jnp
+
+    from muygpys_tpu.pallas.fused_predict import fused_predict_coords_bl
+
+    params = jnp.asarray(
+        [LENGTH_SCALE] * D_FEAT + [NOISE], jnp.float32
+    )
+
+    def predict(nf, q, y):
+        mean, var = fused_predict_coords_bl(
+            nf,
+            q,
+            y,
+            params,
+            smoothness=SMOOTHNESS,
+            batch_tile=BATCH_TILE,
+        )
+        return jnp.sum(mean) + jnp.sum(var)
+
+    return _loop(predict, iters, perturb_arg=0)
+
+
+TRAIN_COUNT = 50_000
+
+
+def make_serve_inputs():
+    """On-device training set + query batch for the END-TO-END serve loop."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    train = rng.uniform(size=(TRAIN_COUNT, D_FEAT))
+    targets = rng.standard_normal((TRAIN_COUNT, 1))
+    queries = rng.uniform(size=(BATCH, D_FEAT))
+    return (
+        jnp.asarray(train, jnp.float32),
+        jnp.asarray(targets, jnp.float32),
+        jnp.asarray(queries, jnp.float32),
+    )
+
+
+def end_to_end_loop(iters, use_pallas: bool = True):
+    """The number a user gets: KNN query -> gather -> assembly -> fused
+    solve, entirely on device, per iteration (VERDICT r1 weak #4: the fused
+    solve alone must not be quoted as serving throughput)."""
+    import jax.numpy as jnp
+
+    from muygpys_tpu.neighbors import _brute_force_knn, _refine_knn
+
+    params = jnp.asarray([LENGTH_SCALE] * D_FEAT + [NOISE], jnp.float32)
+
+    if use_pallas:
+        from muygpys_tpu.pallas.fused_predict import fused_predict_coords_bl
+
+        def solve(nf, q, y):
+            return fused_predict_coords_bl(
+                nf, q, y, params,
+                smoothness=SMOOTHNESS,
+                batch_tile=BATCH_TILE,
+            )
+
+    else:
+        from muygpys_tpu.ops import kernels as k
+        from muygpys_tpu.ops.lanes_solver import serve_mean_and_variance_bl
+
+        eye_bl = jnp.eye(NN, dtype=jnp.float32)[:, :, None]
+
+        def solve(nf, q, y):
+            d2p = jnp.sum(
+                (nf[:, None, :, :] - nf[None, :, :, :]) ** 2, axis=2
+            )
+            d2c = jnp.sum((nf - q[None]) ** 2, axis=1)
+            Kin = (
+                k.matern_15_fn(jnp.sqrt(d2p) / LENGTH_SCALE)
+                + NOISE * eye_bl
+            )
+            Kc = k.matern_15_fn(jnp.sqrt(d2c) / LENGTH_SCALE)
+            return serve_mean_and_variance_bl(
+                Kin, Kc, jnp.asarray(1.0, jnp.float32), y
+            )
+
+    def predict(train, targets, queries):
+        # production NN_Wrapper path: over-fetch candidates via the MXU
+        # Gram identity, exact-difference re-rank (neighbors._get_nns)
+        cand_idx, _ = _brute_force_knn(train, queries, NN + 32)
+        idx, _ = _refine_knn(train, queries, cand_idx, NN)
+        nf = jnp.transpose(train[idx], (1, 2, 0))  # (n, d, B)
+        y = jnp.transpose(targets[idx], (1, 2, 0))  # (n, 1, B)
+        mean, var = solve(nf, queries.T, y)
+        return jnp.sum(mean) + jnp.sum(var)
+
+    return _loop(predict, iters, perturb_arg=2)
 
 
 def compile_loops(loop_factory, inputs):

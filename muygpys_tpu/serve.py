@@ -7,10 +7,21 @@ object.  Engines:
 - ``"lanes"`` (default): the batch-last XLA pipeline
   (:mod:`muygpys_tpu.ops.lanes_solver`) — ~4M preds/sec/chip, compiles in
   seconds.
-- ``"pallas"``: the fully fused VMEM kernel
-  (:mod:`muygpys_tpu.pallas.fused_predict`) — ~48M preds/sec/chip measured,
-  requires Matern nu in {1/2, 3/2, 5/2, inf} and a long first compile.
+- ``"pallas"``: the fully fused coordinate-streaming VMEM kernel
+  (:func:`muygpys_tpu.pallas.fused_predict.fused_predict_coords_bl`) —
+  streams neighbor coordinates, computes distances in VMEM (~n/d x less HBM
+  traffic than a distance-tensor kernel), and takes the trained
+  hyperparameters as traced SMEM scalars so ONE cached executable serves
+  every trained model of a given shape.  Requires Matern nu in
+  {1/2, 3/2, 5/2, inf} or RBF.
 - ``"reference"``: the generic standard-layout path (for debugging).
+
+Model classes served (reference capability parity, SURVEY §2.5/§2.7):
+Isotropy or Anisotropy deformations (per-feature length scales), and
+homoscedastic or heteroscedastic noise (pass the per-training-point
+``measurement_noise`` vector; the per-neighborhood nugget is gathered at
+query time exactly like the reference's ``_make_heteroscedastic_tensor``,
+``_src/gp/tensors/numpy.py:11-15``).
 
 The query batch is padded to a fixed bucket size so ONE compiled program
 serves any request size (XLA static shapes).
@@ -25,10 +36,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from muygpys_tpu.gp.deformation import Isotropy
+from muygpys_tpu.gp.deformation import Anisotropy, Isotropy
 from muygpys_tpu.gp.kernels import Matern, RBF
 from muygpys_tpu.gp.muygps import MuyGPS
-from muygpys_tpu.gp.noise import HomoscedasticNoise
+from muygpys_tpu.gp.noise import HeteroscedasticNoise, HomoscedasticNoise
 from muygpys_tpu.neighbors import NN_Wrapper
 from muygpys_tpu.ops import kernels as _k
 from muygpys_tpu.ops.lanes_solver import serve_mean_and_variance_bl
@@ -40,12 +51,17 @@ class FastServer:
     """Batched posterior-serving endpoint for a trained MuyGPS model.
 
     Args:
-        muygps: trained model (Matern/RBF + Isotropy + homoscedastic noise).
+        muygps: trained model (Matern/RBF kernel, Isotropy/Anisotropy
+            deformation, homoscedastic or heteroscedastic noise).
         nbrs_lookup: KNN index over the training features.
         train_features / train_targets: the training set (univariate or
             multivariate targets).
         bucket: compiled request size; queries are padded up to it.
         engine: ``"lanes"`` | ``"pallas"`` | ``"reference"``.
+        measurement_noise: per-training-point noise variances
+            ``(train_count,)`` — required when the model's noise is
+            heteroscedastic (the model's stored tensor is gathered over a
+            *training batch* and cannot address new query neighborhoods).
     """
 
     def __init__(
@@ -56,15 +72,17 @@ class FastServer:
         train_targets,
         bucket: int = 4096,
         engine: str = "lanes",
+        measurement_noise=None,
     ):
         if not isinstance(muygps.kernel, (Matern, RBF)):
             raise ValueError(
                 f"FastServer supports Matern/RBF, not {type(muygps.kernel)}"
             )
-        if not isinstance(muygps.kernel.deformation, Isotropy):
-            raise ValueError("FastServer requires an isotropic deformation")
-        if not isinstance(muygps.noise, HomoscedasticNoise):
-            raise ValueError("FastServer requires homoscedastic noise")
+        if not isinstance(muygps.kernel.deformation, (Isotropy, Anisotropy)):
+            raise ValueError(
+                "FastServer requires an Isotropy or Anisotropy deformation, "
+                f"not {type(muygps.kernel.deformation)}"
+            )
         if engine not in ("lanes", "pallas", "reference"):
             raise ValueError(f"unknown engine {engine!r}")
 
@@ -80,54 +98,96 @@ class FastServer:
             targets = targets[:, None]
         self._targets = jnp.asarray(targets)
         self._response_count = targets.shape[1]
+        feature_count = self._train.shape[1]
 
-        self._ls = float(muygps.kernel.deformation.length_scale())
-        self._noise = float(muygps.noise())
+        # noise model
+        if isinstance(muygps.noise, HeteroscedasticNoise):
+            if measurement_noise is None:
+                raise ValueError(
+                    "heteroscedastic serving requires the per-training-point "
+                    "measurement_noise vector"
+                )
+            eps = np.asarray(measurement_noise).reshape(-1)
+            if eps.shape[0] != self._train.shape[0]:
+                raise ValueError(
+                    f"measurement_noise has {eps.shape[0]} entries for "
+                    f"{self._train.shape[0]} training points"
+                )
+            self._measurement_noise = jnp.asarray(eps, self._train.dtype)
+            self._noise = 0.0
+        elif isinstance(muygps.noise, HomoscedasticNoise):
+            self._measurement_noise = None
+            self._noise = float(muygps.noise())
+        else:
+            raise ValueError(
+                f"FastServer does not support noise {type(muygps.noise)}"
+            )
+
+        # length scales, one per feature (isotropy replicates its scalar)
+        deformation = muygps.kernel.deformation
+        ls = np.asarray(deformation.length_scale(), float).reshape(-1)
+        if isinstance(deformation, Anisotropy):
+            if ls.shape[0] != feature_count:
+                raise ValueError(
+                    f"{ls.shape[0]} anisotropic length scales for "
+                    f"{feature_count} features"
+                )
+            self._ls_vec = ls
+        else:
+            self._ls_vec = np.full(feature_count, float(ls[0]))
         self._scale = float(np.asarray(muygps.scale()).reshape(-1)[0])
+
         if isinstance(muygps.kernel, RBF):
             self._nu = math.inf
             self._is_rbf = True
         else:
             self._nu = float(muygps.kernel.smoothness())
             self._is_rbf = False
+        self._metric_power = 2 if deformation.metric.name == "F2" else 1
         if engine == "pallas":
-            if self._is_rbf or self._nu not in (0.5, 1.5, 2.5, math.inf):
+            if not self._is_rbf and self._nu not in _CLOSED_FORM_NU:
                 raise ValueError(
                     "pallas engine supports Matern nu in "
-                    "{0.5, 1.5, 2.5, inf}"
+                    "{0.5, 1.5, 2.5, inf} and RBF"
                 )
+        if engine == "reference" and self._measurement_noise is not None:
+            raise ValueError(
+                "the reference engine serves homoscedastic models only"
+            )
 
         self._predict_fn = self._build()
 
     # -- assembly + predict program (compiled once per bucket) --
 
-    def _kernel_eval(self, dists):
-        metric = self.muygps.kernel.deformation.metric
-        d = metric.apply_length_scale(dists, self._ls)
+    def _kernel_eval(self, u):
+        """Kernel value from length-scaled distances."""
         if self._is_rbf:
-            return _k.rbf_fn(d)
+            return _k.rbf_fn(u)
         if self._nu == 0.5:
-            return _k.matern_05_fn(d)
+            return _k.matern_05_fn(u)
         if self._nu == 1.5:
-            return _k.matern_15_fn(d)
+            return _k.matern_15_fn(u)
         if self._nu == 2.5:
-            return _k.matern_25_fn(d)
+            return _k.matern_25_fn(u)
         if self._nu == math.inf:
-            return _k.matern_inf_fn(d)
-        return _k.matern_gen_fn(d, self._nu)
+            return _k.matern_inf_fn(u)
+        return _k.matern_gen_fn(u, self._nu)
 
     def _build(self):
-        metric = self.muygps.kernel.deformation.metric
         train = self._train
         targets = self._targets
         noise = self._noise
         scale = self._scale
         nn_count = self.nbrs.nn_count
+        meas = self._measurement_noise
+        # feature pre-scaling: anisotropic distance == isotropic(ls=1)
+        # distance of per-feature-scaled coordinates
+        inv_ls = jnp.asarray(1.0 / self._ls_vec, train.dtype)
 
         def assemble_bl(queries, nn_idx):
-            # batch-last distance assembly straight from gathers
-            nf = train[nn_idx]  # (B, n, f)
-            q = queries  # (B, f)
+            # batch-last scaled-distance assembly straight from gathers
+            nf = train[nn_idx] * inv_ls  # (B, n, f)
+            q = queries * inv_ls  # (B, f)
             d2p = jnp.maximum(
                 jnp.sum(nf * nf, -1)[:, :, None]
                 + jnp.sum(nf * nf, -1)[:, None, :]
@@ -148,7 +208,7 @@ class FastServer:
                 ),
                 0.0,
             )
-            if metric._differences_metric_fn.__name__ == "l2":
+            if self._metric_power == 1:
                 from muygpys_tpu.ops.tensors import safe_sqrt
 
                 dp, dc = safe_sqrt(d2p), safe_sqrt(d2c)
@@ -162,17 +222,33 @@ class FastServer:
             )
 
         if self.engine == "pallas":
-            from muygpys_tpu.pallas.fused_predict import fused_predict_bl
+            from muygpys_tpu.pallas.fused_predict import (
+                fused_predict_coords_bl,
+            )
 
             tile = int(math.gcd(self.bucket, 512))
-
-            nu = self._nu
+            nu = "rbf" if self._is_rbf else self._nu
+            params = jnp.concatenate(
+                [
+                    jnp.asarray(self._ls_vec, train.dtype),
+                    jnp.asarray([noise], train.dtype),
+                ]
+            )
+            metric_power = self._metric_power
 
             @jax.jit
             def predict(queries, nn_idx):
-                pw, cw, y = assemble_bl(queries, nn_idx)
-                mean, var = fused_predict_bl(
-                    pw, cw, y, self._ls, noise, smoothness=nu,
+                nf = jnp.transpose(train[nn_idx], (1, 2, 0))  # (n, d, B)
+                q = queries.T  # (d, B)
+                y = jnp.transpose(targets[nn_idx], (1, 2, 0))  # (n, r, B)
+                noise_nn = (
+                    None if meas is None else meas[nn_idx].T  # (n, B)
+                )
+                mean, var = fused_predict_coords_bl(
+                    nf, q, y, params,
+                    noise_nn=noise_nn,
+                    smoothness=nu,
+                    metric_power=metric_power,
                     batch_tile=tile,
                 )
                 return mean.T, scale * var  # (B, r), (B,)
@@ -183,7 +259,12 @@ class FastServer:
             def predict(queries, nn_idx):
                 pw, cw, y = assemble_bl(queries, nn_idx)
                 eye = jnp.eye(nn_count, dtype=pw.dtype)[:, :, None]
-                Kin = self._kernel_eval(pw) + noise * eye
+                if meas is None:
+                    Kin = self._kernel_eval(pw) + noise * eye
+                else:
+                    Kin = self._kernel_eval(pw) + eye * meas[nn_idx].T[
+                        :, None, :
+                    ]
                 Kcross = self._kernel_eval(cw)
                 mean, var = serve_mean_and_variance_bl(
                     Kin, Kcross, jnp.asarray(1.0, pw.dtype), y

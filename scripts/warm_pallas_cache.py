@@ -24,7 +24,24 @@ from muygpys_tpu.performance import headline as h  # noqa: E402
 
 
 def main():
+    import functools
+
     h.enable_persistent_cache(REPO_ROOT)
+    t0 = time.perf_counter()
+    h.compile_loops(h.pallas_coords_loop, h.make_coords_inputs())
+    print(
+        f"pallas coords loop programs compiled in "
+        f"{time.perf_counter() - t0:.1f}s", flush=True,
+    )
+    t0 = time.perf_counter()
+    h.compile_loops(
+        functools.partial(h.end_to_end_loop, use_pallas=True),
+        h.make_serve_inputs(),
+    )
+    print(
+        f"end-to-end serve loop programs compiled in "
+        f"{time.perf_counter() - t0:.1f}s", flush=True,
+    )
     t0 = time.perf_counter()
     h.compile_loops(h.pallas_loop, h.make_inputs())
     print(f"pallas loop programs compiled in {time.perf_counter() - t0:.1f}s")

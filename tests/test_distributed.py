@@ -322,3 +322,35 @@ def test_sharded_shear_posterior_matches_serial(mesh, rng):
     sharded = predict(cw_s, pw_s, bnt_s)
     assert len(sharded.sharding.device_set) == 8
     np.testing.assert_allclose(gather_global(sharded), serial, rtol=1e-9)
+
+
+class TestScalingHarness:
+    def test_collective_bytes_parser(self):
+        from muygpys_tpu.performance.scaling import collective_bytes
+
+        hlo = """
+  %ar = f32[] all-reduce(f32[] %x), replica_groups={}
+  %ag = f64[16,8]{1,0} all-gather(f64[2,8] %y), dimensions={0}
+  %rs = bf16[4]{0} reduce-scatter(bf16[32] %z), dimensions={0}
+"""
+        out = collective_bytes(hlo)
+        assert out["all-reduce"] == 4
+        assert out["all-gather"] == 16 * 8 * 8
+        assert out["reduce-scatter"] == 4 * 2
+
+    def test_weak_scaling_mechanics(self):
+        """One command away from the >=85% BASELINE measurement: the sweep
+        runs end-to-end on the virtual mesh and accounts an O(1)-byte
+        all-reduce per step (the loss/scale reductions)."""
+        from muygpys_tpu.performance.scaling import measure_scaling
+
+        records = measure_scaling(
+            device_counts=[1, 8], batch_per_device=64, nn=8, steps=2,
+            warmup=1,
+        )
+        assert [r["devices"] for r in records] == [1, 8]
+        assert records[0]["collective_bytes_per_step"] == {}
+        comm = records[1]["collective_bytes_per_step"]
+        # sharded step reduces scalars only: a few dozen bytes at most
+        assert 0 < sum(comm.values()) <= 256, comm
+        assert all(np.isfinite(r["rows_per_sec"]) for r in records)

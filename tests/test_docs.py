@@ -10,6 +10,8 @@ import re
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 DOCS = sorted(
     (pathlib.Path(__file__).parent.parent / "docs").glob("*.md"),
     key=lambda p: p.name,

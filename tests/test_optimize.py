@@ -78,9 +78,14 @@ def draws(rng):
     "chassis,loss,kwargs",
     [
         (L_BFGS_B_optimize, lool_fn, {}),
-        (L_BFGS_B_optimize, mse_fn, {}),
-        (Bayes_optimize, lool_fn, {"init_points": 5, "n_iter": 15,
-                                   "random_state": 1}),
+        pytest.param(
+            L_BFGS_B_optimize, mse_fn, {}, marks=pytest.mark.slow
+        ),
+        pytest.param(
+            Bayes_optimize, lool_fn,
+            {"init_points": 5, "n_iter": 15, "random_state": 1},
+            marks=pytest.mark.slow,
+        ),
         (Adam_optimize, lool_fn, {"n_iter": 150, "learning_rate": 0.05}),
     ],
     ids=["lbfgs-lool", "lbfgs-mse", "bayes-lool", "adam-lool"],
@@ -95,6 +100,7 @@ def test_length_scale_recovery(draws, chassis, loss, kwargs):
     assert np.mean(errs) < LS_TOL, f"errors={errs}"
 
 
+@pytest.mark.slow
 def test_smoothness_recovery(draws):
     """Recover smoothness with length scale fixed at truth, via exact
     gradients through the general-nu Bessel path.  (Jointly, (ls, nu) sit on
@@ -137,6 +143,7 @@ def test_scale_recovery(draws):
     assert np.mean(errs) < SCALE_TOL, f"errors={errs}"
 
 
+@pytest.mark.slow
 def test_anisotropic_length_scale_recovery(rng):
     """BASELINE config 2: 2D anisotropic regression with per-dimension
     length-scale optimization.  Sample from a GP with distinct per-axis

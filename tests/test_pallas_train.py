@@ -57,11 +57,7 @@ def _problem(rng, kern, noise_free, multivariate):
     return model, t, y, jnp.asarray(cw), jnp.asarray(pw)
 
 
-@pytest.mark.parametrize("kern", [0.5, 1.5, 2.5, math.inf, "rbf"])
-@pytest.mark.parametrize("noise_free", [False, True])
-@pytest.mark.parametrize("loss", ["lool", "mse"])
-@pytest.mark.parametrize("multivariate", [False, True])
-def test_value_and_grad_conformance(rng, kern, noise_free, loss, multivariate):
+def _conformance_check(rng, kern, noise_free, loss, multivariate):
     model, t, y, cw, pw = _problem(rng, kern, noise_free, multivariate)
     ref_obj, _ = make_fast_loo_objective(model, t, y, cw, pw, loss=loss)
     vag, _ = make_fused_train_objective(
@@ -77,6 +73,26 @@ def test_value_and_grad_conformance(rng, kern, noise_free, loss, multivariate):
         np.testing.assert_allclose(
             float(g[name]), float(g_ref[name]), rtol=1e-6
         )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kern", [0.5, 1.5, 2.5, math.inf, "rbf"])
+@pytest.mark.parametrize("noise_free", [False, True])
+@pytest.mark.parametrize("loss", ["lool", "mse"])
+@pytest.mark.parametrize("multivariate", [False, True])
+def test_value_and_grad_conformance(rng, kern, noise_free, loss, multivariate):
+    _conformance_check(rng, kern, noise_free, loss, multivariate)
+
+
+@pytest.mark.parametrize(
+    "kern,noise_free,loss,multivariate",
+    [(1.5, True, "lool", False), ("rbf", False, "mse", True)],
+)
+def test_value_and_grad_conformance_fast(
+    rng, kern, noise_free, loss, multivariate
+):
+    """Fast-subset sentinel of the full (slow-marked) conformance sweep."""
+    _conformance_check(rng, kern, noise_free, loss, multivariate)
 
 
 def test_rejects_unsupported_models(rng):

@@ -69,14 +69,14 @@ def test_pallas_engine_interprets(problem, monkeypatch):
     import muygpys_tpu.serve as serve_mod
     from muygpys_tpu.pallas import fused_predict as fp
 
-    orig = fp.fused_predict_bl
+    orig = fp.fused_predict_coords_bl
 
     def interp(*args, **kwargs):
         kwargs["interpret"] = True
         return orig(*args, **kwargs)
 
     monkeypatch.setattr(
-        "muygpys_tpu.pallas.fused_predict.fused_predict_bl", interp
+        "muygpys_tpu.pallas.fused_predict.fused_predict_coords_bl", interp
     )
     xtr, ytr, xte = problem
     model = _model(1.5)
@@ -105,7 +105,7 @@ def test_multivariate_lanes(problem, rng):
 def test_validation(problem):
     xtr, ytr, _ = problem
     nbrs = NN_Wrapper(xtr, 12, nn_method="exact")
-    with pytest.raises(ValueError, match="homoscedastic"):
+    with pytest.raises(ValueError, match="does not support noise"):
         FastServer(
             MuyGPS(
                 kernel=Matern(
@@ -139,3 +139,115 @@ def test_rbf_engine(problem):
     mean_ref, var_ref = _reference_predict(model, xtr, ytr, xte, nbrs)
     np.testing.assert_allclose(mean, mean_ref, rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(var, var_ref, rtol=1e-8, atol=1e-10)
+
+
+def _interp_coords(monkeypatch):
+    from muygpys_tpu.pallas import fused_predict as fp
+
+    orig = fp.fused_predict_coords_bl
+
+    def interp(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(
+        "muygpys_tpu.pallas.fused_predict.fused_predict_coords_bl", interp
+    )
+
+
+@pytest.mark.parametrize("engine", ["lanes", "pallas"])
+def test_anisotropy_engines(problem, engine, monkeypatch):
+    """Per-feature length scales through the serving fast paths
+    (reference Anisotropy, gp/deformation/anisotropy.py)."""
+    from muygpys_tpu.gp.deformation import Anisotropy
+    from muygpys_tpu.gp.hyperparameter import VectorParameter
+
+    if engine == "pallas":
+        _interp_coords(monkeypatch)
+    xtr, ytr, xte = problem
+    scale = FixedScale()
+    scale._set(1.7)
+    model = MuyGPS(
+        kernel=Matern(
+            smoothness=Parameter(1.5),
+            deformation=Anisotropy(
+                l2,
+                length_scale=VectorParameter(
+                    Parameter(0.4), Parameter(0.9), Parameter(1.6)
+                ),
+            ),
+        ),
+        noise=HomoscedasticNoise(1e-3),
+        scale=scale,
+    )
+    nbrs = NN_Wrapper(xtr, 12, nn_method="exact")
+    server = FastServer(model, nbrs, xtr, ytr, bucket=64, engine=engine)
+    mean, var = server.predict(xte[:50])
+    mean_ref, var_ref = _reference_predict(model, xtr, ytr, xte[:50], nbrs)
+    np.testing.assert_allclose(mean, mean_ref, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(var, var_ref, rtol=1e-6, atol=1e-9)
+
+
+@pytest.mark.parametrize("engine", ["lanes", "pallas"])
+def test_heteroscedastic_engines(problem, engine, rng, monkeypatch):
+    """Per-training-point measurement noise through the serving fast paths
+    (reference heteroscedastic gather, _src/gp/tensors/numpy.py:11-15)."""
+    from muygpys_tpu.gp.noise import HeteroscedasticNoise
+
+    if engine == "pallas":
+        _interp_coords(monkeypatch)
+    xtr, ytr, xte = problem
+    meas = 1e-3 + 1e-2 * rng.uniform(size=xtr.shape[0])
+    nbrs = NN_Wrapper(xtr, 12, nn_method="exact")
+
+    # oracle: homoscedastic-free model, nugget added per gathered neighbor
+    nn_idx, _ = nbrs.get_nns(xte[:50])
+    base = _model(1.5, scale_val=1.0)
+    cw, pw, bnt = base.make_predict_tensors(
+        np.arange(50), nn_idx, jnp.asarray(xte[:50]),
+        jnp.asarray(xtr), jnp.asarray(ytr),
+    )
+    eps = jnp.asarray(meas)[nn_idx]  # (B, n)
+    Kin = base.kernel(pw) + jnp.einsum(
+        "bi,ij->bij", eps, jnp.eye(nn_idx.shape[1])
+    )
+    Kcross = base.kernel(cw)
+    from muygpys_tpu.ops.solve import posterior_mean, diagonal_variance
+
+    mean_ref = np.asarray(posterior_mean(Kin, Kcross, bnt))
+    var_ref = np.asarray(
+        diagonal_variance(Kin, Kcross, jnp.asarray(1.0))
+    ).reshape(-1)
+
+    hetero_model = MuyGPS(
+        kernel=Matern(
+            smoothness=Parameter(1.5),
+            deformation=Isotropy(l2, length_scale=Parameter(0.5)),
+        ),
+        noise=HeteroscedasticNoise(eps),
+    )
+    server = FastServer(
+        hetero_model, nbrs, xtr, ytr, bucket=64, engine=engine,
+        measurement_noise=meas,
+    )
+    mean, var = server.predict(xte[:50])
+    np.testing.assert_allclose(mean, mean_ref, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(var, var_ref, rtol=1e-6, atol=1e-9)
+
+
+def test_heteroscedastic_requires_measurement_noise(problem, rng):
+    from muygpys_tpu.gp.noise import HeteroscedasticNoise
+
+    xtr, ytr, _ = problem
+    nbrs = NN_Wrapper(xtr, 12, nn_method="exact")
+    model = MuyGPS(
+        kernel=Matern(
+            smoothness=Parameter(1.5),
+            deformation=Isotropy(l2, length_scale=Parameter(0.5)),
+        ),
+        noise=HeteroscedasticNoise(
+            jnp.asarray(rng.uniform(size=(10, 12)))
+        ),
+    )
+    with pytest.raises(ValueError, match="measurement_noise"):
+        FastServer(model, nbrs, xtr, ytr)
