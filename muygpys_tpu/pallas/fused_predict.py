@@ -69,45 +69,40 @@ def _matern(d, smoothness):
     )
 
 
-def _solve_and_emit(K, kc, y, n, r, mean_ref, var_ref):
-    """Shared tail: Cholesky + substitutions + posterior mean/variance."""
-    # unrolled right-looking Cholesky, batch on lanes
-    cols = []
-    for j in range(n):
-        c = K[:, j, :]  # (n, TB)
-        if j > 0:
-            Lpre = jnp.stack(cols, axis=1)  # (n, j, TB)
-            Lj = Lpre[j]  # (j, TB)
-            c = c - jnp.sum(Lpre * Lj[None, :, :], axis=1)
-        d = jnp.sqrt(c[j])
-        colv = c / d
-        keep = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) >= j)
-        cols.append(jnp.where(keep, colv, 0.0))
-    L = jnp.stack(cols, axis=1)  # (n, n, TB)
+def _solve_and_emit(K, kc, y, n, r, mean_ref, var_ref, work):
+    """Shared tail: augmented-matrix Cholesky elimination -> mean/variance.
 
-    # forward substitution for RHS [kc | y]
-    zc, zy = [], []
+    Posterior moments only need ``z = L^{-1} [kc | y]`` (mean = zc . zy,
+    var = 1 - zc . zc), never L itself or a back-substitution.  So instead
+    of factor-then-substitute, eliminate the AUGMENTED matrix
+    ``[K | kc | y]`` in a VMEM scratch: each pivot step is one divide + ONE
+    contiguous fused multiply-subtract over the trailing block — no column
+    restacking (the previous formulation rebuilt an (n, j) stack per step:
+    O(n^3) pure shuffle traffic on top of the O(n^3) FLOPs; this version
+    measured 3.4x faster end-to-end on v5e, PERF.md r2).
+    """
+    m = n + 1 + r
+    work[:, :n, :] = K
+    work[:, n, :] = kc
+    work[:, n + 1:, :] = y
     for j in range(n):
-        ac = kc[j]  # (TB,)
-        ay = y[j]  # (r, TB)
-        if j > 0:
-            Lrow = L[j, :j, :]  # (j, TB)
-            ac = ac - jnp.sum(Lrow * jnp.stack(zc), axis=0)
-            ay = ay - jnp.sum(
-                Lrow[:, None, :] * jnp.stack(zy), axis=0
+        inv = jax.lax.rsqrt(work[j, j, :])  # (TB,)
+        rowj = work[j, j:, :] * inv[None, :]  # (m - j, TB)
+        work[j, j:, :] = rowj
+        if j < n - 1:
+            lcol = work[j + 1:, j, :] * inv[None, :]  # (n-1-j, TB)
+            work[j + 1:, j:, :] = (
+                work[j + 1:, j:, :] - lcol[:, None, :] * rowj[None, :, :]
             )
-        zc.append(ac / L[j, j])
-        zy.append(ay / L[j, j][None, :])
-    Zc = jnp.stack(zc)  # (n, TB)
-    Zy = jnp.stack(zy)  # (n, r, TB)
-
-    mean_ref[:] = jnp.sum(Zc[:, None, :] * Zy, axis=0)  # (r, TB)
-    var_ref[0, :] = 1.0 - jnp.sum(Zc * Zc, axis=0)
+    zc = work[:, n, :]  # (n, TB) = L^{-1} kc
+    zy = work[:, n + 1:, :]  # (n, r, TB) = L^{-1} y
+    mean_ref[:] = jnp.sum(zc[:, None, :] * zy, axis=0)  # (r, TB)
+    var_ref[0, :] = 1.0 - jnp.sum(zc * zc, axis=0)
 
 
 def _kernel_body(
     smoothness, metric_power, params_ref, pw_ref, cw_ref, y_ref,
-    mean_ref, var_ref,
+    mean_ref, var_ref, work,
 ):
     n = pw_ref.shape[0]
     r = y_ref.shape[1]
@@ -125,7 +120,7 @@ def _kernel_body(
 
     K = _matern(pw * inv, smoothness) + noise * eye  # (n, n, TB)
     kc = _matern(cw * inv, smoothness)  # (n, TB)
-    _solve_and_emit(K, kc, y, n, r, mean_ref, var_ref)
+    _solve_and_emit(K, kc, y, n, r, mean_ref, var_ref, work)
 
 
 def _coords_body(
@@ -133,9 +128,9 @@ def _coords_body(
     params_ref, nf_ref, q_ref, y_ref, *rest,
 ):
     if hetero:
-        eps_ref, mean_ref, var_ref = rest
+        eps_ref, mean_ref, var_ref, work = rest
     else:
-        mean_ref, var_ref = rest
+        mean_ref, var_ref, work = rest
     n = nf_ref.shape[0]
     r = y_ref.shape[1]
     nf = nf_ref[:]  # (n, d, TB)
@@ -172,7 +167,7 @@ def _coords_body(
     else:
         K = K + params_ref[d_feat] * eye
     kc = _matern(u_c, smoothness)
-    _solve_and_emit(K, kc, y, n, r, mean_ref, var_ref)
+    _solve_and_emit(K, kc, y, n, r, mean_ref, var_ref, work)
 
 
 @functools.partial(
@@ -236,6 +231,9 @@ def fused_predict_bl(
             jax.ShapeDtypeStruct((r, B), pw.dtype),
             jax.ShapeDtypeStruct((1, B), pw.dtype),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((n, n + 1 + r, batch_tile), pw.dtype),
+        ],
         interpret=interpret,
     )(params, pw, cw, y)
     return mean, var[0]
@@ -321,6 +319,9 @@ def fused_predict_coords_bl(
             jax.ShapeDtypeStruct((r, B), nf.dtype),
             jax.ShapeDtypeStruct((1, B), nf.dtype),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((n, n + 1 + r, batch_tile), nf.dtype),
+        ],
         interpret=interpret,
     )(*args)
     return mean, var[0]

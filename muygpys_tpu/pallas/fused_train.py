@@ -131,9 +131,13 @@ def _matvec_bl(G, x, n):
 
 
 def _train_body(
-    smoothness, metric_power, noise_free,
-    params_ref, pw_ref, cw_ref, y_ref, out_ref,
+    smoothness, metric_power, noise_free, hetero,
+    params_ref, pw_ref, cw_ref, y_ref, *rest,
 ):
+    if hetero:
+        eps_ref, out_ref = rest
+    else:
+        out_ref, = rest
     n = pw_ref.shape[0]
     r = y_ref.shape[1]
     ls = params_ref[0]
@@ -158,7 +162,13 @@ def _train_body(
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     eye = (row == col).astype(pw.dtype)[:, :, None]
 
-    L = _chol_bl(K + noise * eye, n)
+    if hetero:
+        # per-neighbor nugget (n, TB) on the diagonal; scalar noise unused
+        # (heteroscedastic tensors are never free parameters)
+        nugget = eye * eps_ref[:][:, None, :]
+    else:
+        nugget = noise * eye
+    L = _chol_bl(K + nugget, n)
     rhs = jnp.concatenate([kc[:, None, :], y], axis=1)  # (n, 1+r, TB)
     Z = _fwd_bl(L, rhs, n)
     X = _bwd_bl(L, Z, n)
@@ -222,6 +232,7 @@ def _train_body(
 )
 def fused_train_stats_bl(
     pw, cw, y, params,
+    noise_nn=None,
     smoothness=1.5,
     metric_power: int = 1,
     noise_free: bool = False,
@@ -232,40 +243,57 @@ def fused_train_stats_bl(
 
     ``pw (n, n, B)``, ``cw (n, B)``, ``y (n, r, B)``;
     ``params = [length_scale, noise, stored_noise]`` (traced, so one
-    compiled executable serves every optimizer step).
+    compiled executable serves every optimizer step).  Optional
+    ``noise_nn (n, B)`` per-neighbor heteroscedastic nugget replaces the
+    scalar noise on the diagonal (and cannot be a free parameter, so
+    ``noise_free`` must be False with it).
     """
     n, _, B = pw.shape
     r = y.shape[1]
     if B % batch_tile != 0:
         raise ValueError(f"batch_tile {batch_tile} must divide batch {B}")
+    hetero = noise_nn is not None
+    if hetero and noise_free:
+        raise ValueError(
+            "heteroscedastic nugget tensors are never free parameters"
+        )
     C = 3 * r + 5
     grid = (B // batch_tile,)
     kernel = functools.partial(
-        _train_body, smoothness, metric_power, noise_free
+        _train_body, smoothness, metric_power, noise_free, hetero
     )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # params (3,)
+        pl.BlockSpec(
+            (n, n, batch_tile), lambda i: (0, 0, i),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (n, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (n, r, batch_tile), lambda i: (0, 0, i),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    args = [params, pw, cw, y]
+    if hetero:
+        in_specs.append(
+            pl.BlockSpec(
+                (n, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            )
+        )
+        args.append(jnp.asarray(noise_nn, pw.dtype))
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # params (3,)
-            pl.BlockSpec(
-                (n, n, batch_tile), lambda i: (0, 0, i),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (n, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (n, r, batch_tile), lambda i: (0, 0, i),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (C, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((C, B), pw.dtype),
         interpret=interpret,
-    )(params, pw, cw, y)
+    )(*args)
     return out
 
 
@@ -327,8 +355,9 @@ def make_fused_train_objective(
 
     Same model restrictions as
     :func:`muygpys_tpu.optimize.fast_objective.make_fast_loo_objective`
-    minus free smoothness (falls back there): Matern (fixed nu in
-    {1/2,3/2,5/2,inf}) or RBF, Isotropy, homoscedastic noise, lool/mse.
+    minus free smoothness and anisotropy (falls back there): Matern (fixed
+    nu in {1/2,3/2,5/2,inf}) or RBF, Isotropy, homoscedastic OR
+    heteroscedastic noise, lool/mse.
 
     Returns (value_and_grad_fn, free_param_names) where
     ``value_and_grad_fn(params_dict) -> (objective, grads_dict)`` with the
@@ -337,7 +366,7 @@ def make_fused_train_objective(
     from muygpys_tpu.gp.deformation import Isotropy
     from muygpys_tpu.gp.deformation.metric import F2 as _F2m, l2 as _l2m
     from muygpys_tpu.gp.kernels import Matern, RBF
-    from muygpys_tpu.gp.noise import HomoscedasticNoise
+    from muygpys_tpu.gp.noise import HeteroscedasticNoise, HomoscedasticNoise
 
     kernel = muygps.kernel
     if not isinstance(kernel, (Matern, RBF)):
@@ -346,7 +375,10 @@ def make_fused_train_objective(
         raise ValueError(
             f"unsupported deformation {type(kernel.deformation)}"
         )
-    if not isinstance(muygps.noise, HomoscedasticNoise):
+    is_hetero = isinstance(muygps.noise, HeteroscedasticNoise)
+    if not isinstance(
+        muygps.noise, (HomoscedasticNoise, HeteroscedasticNoise)
+    ):
         raise ValueError(f"unsupported noise {type(muygps.noise)}")
     if loss not in ("lool", "mse"):
         raise ValueError(f"unsupported loss {loss!r}")
@@ -370,8 +402,14 @@ def make_fused_train_objective(
             )
 
     names, _, _ = muygps.get_opt_params()
-    noise_free = "noise" in names
-    noise0 = float(muygps.noise())
+    if is_hetero:
+        noise_free = False
+        noise0 = 0.0
+        noise_nn = jnp.transpose(jnp.asarray(muygps.noise()), (1, 0))
+    else:
+        noise_free = "noise" in names
+        noise0 = float(muygps.noise())
+        noise_nn = None
     ls0 = float(kernel.deformation.length_scale())
 
     pw_bl = jnp.transpose(jnp.asarray(pairwise_dists), (1, 2, 0))
@@ -395,6 +433,7 @@ def make_fused_train_objective(
     def _vag(params_arr):
         stats = fused_train_stats_bl(
             pw_bl, cw_bl, y_bl, params_arr,
+            noise_nn=noise_nn,
             smoothness=smoothness,
             metric_power=metric_power,
             noise_free=noise_free,

@@ -184,7 +184,7 @@ def end_to_end_loop(iters, use_pallas: bool = True):
     solve alone must not be quoted as serving throughput)."""
     import jax.numpy as jnp
 
-    from muygpys_tpu.neighbors import _brute_force_knn, _refine_knn
+    from muygpys_tpu.neighbors import _brute_force_knn_scan, _refine_knn
 
     params = jnp.asarray([LENGTH_SCALE] * D_FEAT + [NOISE], jnp.float32)
 
@@ -219,9 +219,10 @@ def end_to_end_loop(iters, use_pallas: bool = True):
             )
 
     def predict(train, targets, queries):
-        # production NN_Wrapper path: over-fetch candidates via the MXU
-        # Gram identity, exact-difference re-rank (neighbors._get_nns)
-        cand_idx, _ = _brute_force_knn(train, queries, NN + 32)
+        # production NN_Wrapper path for train_count > 16384: tiled
+        # approx_min_k candidate scan + exact-difference re-rank
+        # (neighbors._get_nns)
+        cand_idx, _ = _brute_force_knn_scan(train, queries, NN + 32)
         idx, _ = _refine_knn(train, queries, cand_idx, NN)
         nf = jnp.transpose(train[idx], (1, 2, 0))  # (n, d, B)
         y = jnp.transpose(targets[idx], (1, 2, 0))  # (n, 1, B)

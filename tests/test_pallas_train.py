@@ -168,3 +168,34 @@ def test_fused_chassis_falls_back_on_free_smoothness(rng):
     )
     opt = Fused_L_BFGS_B_optimize(model, t, y, cw, pw, engine="pallas")
     assert np.isfinite(float(opt.kernel.smoothness()))
+
+
+def test_heteroscedastic_conformance(rng):
+    """Per-neighbor nugget in the fused train kernel == the lanes objective
+    (reference heteroscedastic semantics, _src/gp/noise/numpy.py:56-67)."""
+    from muygpys_tpu.gp.noise import HeteroscedasticNoise
+
+    model, t, y, cw, pw = _problem(rng, 1.5, False, False)
+    eps = 1e-3 + 1e-2 * rng.uniform(size=(B, N))
+    hetero = MuyGPS(
+        kernel=Matern(
+            smoothness=Parameter(1.5),
+            deformation=Isotropy(
+                l2, length_scale=Parameter(0.4, (0.01, 5.0))
+            ),
+        ),
+        noise=HeteroscedasticNoise(jnp.asarray(eps)),
+        scale=AnalyticScale(),
+    )
+    ref_obj, _ = make_fast_loo_objective(hetero, t, y, cw, pw, loss="lool")
+    vag, names = make_fused_train_objective(
+        hetero, t, y, cw, pw, loss="lool", interpret=True
+    )
+    assert "noise" not in names
+    params = {"length_scale": 0.33}
+    v_ref, g_ref = jax.value_and_grad(lambda p: ref_obj(p))(params)
+    v, g = vag(params)
+    np.testing.assert_allclose(float(v), float(v_ref), rtol=1e-8)
+    np.testing.assert_allclose(
+        float(g["length_scale"]), float(g_ref["length_scale"]), rtol=1e-6
+    )
