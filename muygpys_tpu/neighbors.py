@@ -168,7 +168,9 @@ class NN_Wrapper:
         train: ``(train_count, feature_count)`` training features.
         nn_count: number of neighbors returned per query.
         nn_method: ``"exact"`` (on-device brute force, default), ``"brute"``
-            (alias), ``"sklearn"`` (host exact), or ``"hnsw"`` (host
+            (alias), ``"pallas"`` (on-device fused candidate kernel — the
+            distance field never leaves VMEM, :mod:`muygpys_tpu.pallas.knn`;
+            TPU only), ``"sklearn"`` (host exact), or ``"hnsw"`` (host
             approximate; requires hnswlib).
     """
 
@@ -186,7 +188,7 @@ class NN_Wrapper:
         self.train_count, self.feature_count = train.shape
         self.nn_count = nn_count
         self.nn_method = nn_method.lower()
-        if self.nn_method in ("exact", "brute"):
+        if self.nn_method in ("exact", "brute", "pallas"):
             self._train_dev = jnp.asarray(train)
         elif self.nn_method == "sklearn":
             from sklearn.neighbors import NearestNeighbors
@@ -237,7 +239,7 @@ class NN_Wrapper:
         test = np.asarray(test)
         if test.ndim == 1:
             test = test[:, None]
-        if self.nn_method in ("exact", "brute"):
+        if self.nn_method in ("exact", "brute", "pallas"):
             # over-fetch via the MXU Gram-identity path, then re-rank the
             # candidates with exact differences: the |a|^2+|b|^2-2ab identity
             # loses ~eps*|a|^2 absolute precision in f32, which scrambles
@@ -245,7 +247,13 @@ class NN_Wrapper:
             # (dense million-point sets)
             cand_count = min(nn_count + 32, self.train_count)
             queries = jnp.asarray(test)
-            if self.train_count > _TRAIN_TILE:
+            if self.nn_method == "pallas":
+                from muygpys_tpu.pallas.knn import knn_pallas
+
+                cand_idx, _ = knn_pallas(
+                    self._train_dev, queries, cand_count
+                )
+            elif self.train_count > _TRAIN_TILE:
                 cand_idx, _ = _brute_force_knn_scan(
                     self._train_dev, queries, cand_count
                 )

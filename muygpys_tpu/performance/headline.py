@@ -178,14 +178,49 @@ def make_serve_inputs():
     )
 
 
-def end_to_end_loop(iters, use_pallas: bool = True):
-    """The number a user gets: KNN query -> gather -> assembly -> fused
-    solve, entirely on device, per iteration (VERDICT r1 weak #4: the fused
-    solve alone must not be quoted as serving throughput)."""
+def knn_loop(iters, engine: str = "xla"):
+    """KNN-only loop: candidate selection + exact re-rank, per iteration.
+
+    ``engine="xla"``: the approx_min_k scan (``_brute_force_knn_scan``);
+    ``engine="pallas"``: the fused VMEM candidate kernel
+    (:func:`muygpys_tpu.pallas.knn.knn_pallas`).
+    """
     import jax.numpy as jnp
 
     from muygpys_tpu.neighbors import _brute_force_knn_scan, _refine_knn
 
+    if engine == "pallas":
+        from muygpys_tpu.pallas.knn import knn_pallas
+
+        def candidates(train, queries):
+            return knn_pallas(train, queries, NN + 32)
+
+    else:
+
+        def candidates(train, queries):
+            return _brute_force_knn_scan(train, queries, NN + 32)
+
+    def predict(train, targets, queries):
+        cand_idx, _ = candidates(train, queries)
+        idx, d2 = _refine_knn(train, queries, cand_idx, NN)
+        return jnp.sum(d2) + jnp.sum(idx).astype(jnp.float32) * 0.0
+
+    return _loop(predict, iters, perturb_arg=2)
+
+
+def end_to_end_loop(iters, use_pallas: bool = True, knn_engine=None):
+    """The number a user gets: KNN query -> gather -> assembly -> fused
+    solve, entirely on device, per iteration (VERDICT r1 weak #4: the fused
+    solve alone must not be quoted as serving throughput).
+
+    ``knn_engine`` defaults to the fused Pallas candidate kernel whenever
+    the Pallas solve path is on (measured 2x end-to-end, PERF.md r2)."""
+    import jax.numpy as jnp
+
+    from muygpys_tpu.neighbors import _brute_force_knn_scan, _refine_knn
+
+    if knn_engine is None:
+        knn_engine = "pallas" if use_pallas else "xla"
     params = jnp.asarray([LENGTH_SCALE] * D_FEAT + [NOISE], jnp.float32)
 
     if use_pallas:
@@ -218,11 +253,21 @@ def end_to_end_loop(iters, use_pallas: bool = True):
                 Kin, Kc, jnp.asarray(1.0, jnp.float32), y
             )
 
+    if knn_engine == "pallas":
+        from muygpys_tpu.pallas.knn import knn_pallas
+
+        def candidates(train, queries):
+            return knn_pallas(train, queries, NN + 32)
+
+    else:
+
+        def candidates(train, queries):
+            return _brute_force_knn_scan(train, queries, NN + 32)
+
     def predict(train, targets, queries):
         # production NN_Wrapper path for train_count > 16384: tiled
-        # approx_min_k candidate scan + exact-difference re-rank
-        # (neighbors._get_nns)
-        cand_idx, _ = _brute_force_knn_scan(train, queries, NN + 32)
+        # candidate scan + exact-difference re-rank (neighbors._get_nns)
+        cand_idx, _ = candidates(train, queries)
         idx, _ = _refine_knn(train, queries, cand_idx, NN)
         nf = jnp.transpose(train[idx], (1, 2, 0))  # (n, d, B)
         y = jnp.transpose(targets[idx], (1, 2, 0))  # (n, 1, B)

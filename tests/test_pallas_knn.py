@@ -1,0 +1,94 @@
+"""Pallas fused KNN candidate kernel: interpret-mode conformance on CPU.
+
+Mirrors the reference's exact-KNN test discipline (reference
+tests/neighbors.py checks sklearn-vs-hnsw agreement); here the oracle is
+numpy brute force and the statistical contract is the documented
+two-minima-per-bin recall model (muygpys_tpu/pallas/knn.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from muygpys_tpu.pallas.knn import knn_pallas
+
+
+@pytest.fixture(scope="module")
+def problem(rng):
+    train = rng.uniform(size=(5000, 3)).astype(np.float32)
+    queries = rng.uniform(size=(257, 3)).astype(np.float32)
+    d2 = ((queries[:, None, :] - train[None, :, :]) ** 2).sum(-1)
+    order = np.argsort(d2, axis=1)
+    return train, queries, d2, order
+
+
+def _recall(idx, order, k):
+    return np.mean(
+        [
+            len(set(np.asarray(idx)[i]) & set(order[i, :k])) / k
+            for i in range(order.shape[0])
+        ]
+    )
+
+
+def test_candidate_recall_and_distances(problem):
+    train, queries, d2, order = problem
+    k = 40
+    idx, dists = knn_pallas(
+        jnp.asarray(train), jnp.asarray(queries), k,
+        query_tile=128, train_tile=1024, bins=512, interpret=True,
+    )
+    idx, dists = np.asarray(idx), np.asarray(dists)
+    # two-slots-per-bin collision model: expected losses
+    # ~ C(40,3)/512^2 ~= 0.04 per query => recall >= ~0.995
+    assert _recall(idx, order, k) > 0.99
+    # returned distances are the true squared-l2 of the returned columns
+    true = np.take_along_axis(d2, idx, axis=1)
+    np.testing.assert_allclose(dists, true, rtol=0, atol=5e-5)
+    # ... and sorted ascending
+    assert np.all(np.diff(dists, axis=1) >= -1e-6)
+
+
+def test_overfetch_plus_rerank_is_exact_in_practice(problem):
+    from muygpys_tpu.neighbors import _refine_knn
+
+    train, queries, d2, order = problem
+    k = 30
+    cand, _ = knn_pallas(
+        jnp.asarray(train), jnp.asarray(queries), k + 32,
+        query_tile=128, train_tile=1024, bins=512, interpret=True,
+    )
+    idx, dists = _refine_knn(
+        jnp.asarray(train), jnp.asarray(queries), cand, k
+    )
+    assert _recall(idx, order, k) > 0.999
+    np.testing.assert_allclose(
+        np.sort(np.asarray(dists), axis=1)[:, 0],
+        d2[np.arange(queries.shape[0]), order[:, 0]],
+        atol=5e-5,
+    )
+
+
+def test_padding_and_small_train(problem):
+    train, queries, d2, order = problem
+    # train smaller than one tile and not a multiple of bins
+    small = train[:700]
+    d2s = ((queries[:, None, :] - small[None, :, :]) ** 2).sum(-1)
+    orders = np.argsort(d2s, axis=1)
+    idx, dists = knn_pallas(
+        jnp.asarray(small), jnp.asarray(queries[:50]), 20,
+        query_tile=128, train_tile=1024, bins=512, interpret=True,
+    )
+    idx = np.asarray(idx)
+    assert idx.shape == (50, 20)
+    assert idx.max() < 700  # padded rows never selected
+    assert _recall(idx, orders[:50], 20) > 0.99
+
+
+def test_rejects_ragged_bins():
+    with pytest.raises(ValueError, match="must divide"):
+        knn_pallas(
+            jnp.zeros((100, 2)), jnp.zeros((10, 2)), 5,
+            train_tile=1024, bins=600, interpret=True,
+        )
