@@ -11,23 +11,36 @@ all (PERF.md r1), so the fix is a from-scratch selection network.
 
 This kernel keeps the distance block entirely in VMEM and replaces top-k
 with **two-minima-per-residue-bin selection** — the same statistical design
-as PartialReduce, held as running state across the train-tile grid axis:
+as PartialReduce, held as running state across the train-tile grid axis
+(the output block is revisited on the sequential inner grid axis, so it
+acts as a VMEM accumulator; nothing is written to HBM until the query tile
+finishes):
 
 - train columns are binned by residue ``col % bins``;
-- for each bin the kernel tracks the two smallest distances seen (and
-  their global train indices) across ALL train tiles (the output block is
-  revisited on the sequential train-tile grid axis, so it acts as a VMEM
-  accumulator — nothing is written to HBM until the query tile finishes);
-- the host-side merge is one ``lax.top_k`` over the ``2 * bins`` surviving
-  candidates per query, followed by the caller's exact re-rank
-  (:func:`muygpys_tpu.neighbors._refine_knn`).
+- each bin tracks its two smallest **packed keys**.  A key is the f32
+  squared distance, clamped non-negative, with its low mantissa bits
+  replaced by the column's *chunk number* (``col // bins``).  Non-negative
+  IEEE floats order like their bit patterns, so the whole two-slot update
+  is three integer min/max ops per element — and the candidate's train
+  index decodes *algebraically* from (merge position, key low bits).  No
+  index arrays in VMEM, and — decisive — no ``take_along_axis`` gather on
+  the host side: an (8192, 2048) row gather measured ~10.5 ms on v5e,
+  2.3x the entire kernel (PERF.md r2).
+- the host-side merge is one ``lax.approx_min_k`` over the ``2 * bins``
+  surviving keys per query (an exact ``lax.top_k`` here is a full per-row
+  sort and costs more than the kernel), then the caller's exact re-rank
+  (:func:`muygpys_tpu.neighbors._refine_knn`) restores exact distances
+  and order.
 
 Recall: a true neighbor is lost only when >= 3 of the true top-k collide
 in one residue bin.  For k = 50, bins = 1024: expected losses per query
 ~ C(50,3)/1024^2 ~= 0.02 — and the candidate over-fetch + exact re-rank
-absorbs rank noise exactly as the XLA path does.
+absorbs boundary noise exactly as the XLA path does.  Truncating the low
+``chunk_bits`` mantissa bits costs at most 2^(chunk_bits-23) relative
+distance resolution among *candidates* (1M points, 1024 bins -> 10 bits
+-> 2^-13), invisible after the exact re-rank.
 
-HBM traffic per query tile: read train once + write ``4 * (TQ, bins)``
+HBM traffic per query tile: read train once + write ``2 * (TQ, bins)``
 words — the O(query * train) distance field never leaves VMEM.
 
 Reference replaced: sklearn ball_tree / hnswlib index structures
@@ -46,18 +59,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# init sentinel: 2^127 (huge finite, zero mantissa -> zero chunk bits);
+# padded train columns get ~1e30 norms, also never selected
+_INIT_KEY_BITS = 0x7F000000
 
-def _knn_body(bins, q_ref, tT_ref, tsq_ref, d1_ref, i1_ref, d2_ref, i2_ref):
+
+def _knn_body(bins, chunk_mask, q_ref, tT_ref, tsq_ref, s1_ref, s2_ref):
     j = pl.program_id(1)
     tq = q_ref.shape[0]
     tt = tT_ref.shape[1]
 
     @pl.when(j == 0)
     def _():
-        d1_ref[:] = jnp.full((tq, bins), jnp.inf, jnp.float32)
-        d2_ref[:] = jnp.full((tq, bins), jnp.inf, jnp.float32)
-        i1_ref[:] = jnp.zeros((tq, bins), jnp.int32)
-        i2_ref[:] = jnp.zeros((tq, bins), jnp.int32)
+        s1_ref[:] = jnp.full((tq, bins), _INIT_KEY_BITS, jnp.int32)
+        s2_ref[:] = jnp.full((tq, bins), _INIT_KEY_BITS, jnp.int32)
 
     q = q_ref[:]  # (TQ, f)
     qsq = jnp.sum(q * q, axis=1, keepdims=True)  # (TQ, 1)
@@ -71,21 +86,19 @@ def _knn_body(bins, q_ref, tT_ref, tsq_ref, d1_ref, i1_ref, d2_ref, i2_ref):
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+    dfull = jnp.maximum(dfull, 0.0)  # keep keys non-negative (bit ordering)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (tq, bins), 1)
-    base = j * tt
-    for g in range(tt // bins):
+    chunks_per_tile = tt // bins
+    for g in range(chunks_per_tile):
         blk = dfull[:, g * bins:(g + 1) * bins]  # (TQ, bins)
-        gidx = col + (base + g * bins)
-        b1, x1 = d1_ref[:], i1_ref[:]
-        b2, x2 = d2_ref[:], i2_ref[:]
-        lt1 = blk < b1
-        lt2 = blk < b2
-        d1_ref[:] = jnp.where(lt1, blk, b1)
-        i1_ref[:] = jnp.where(lt1, gidx, x1)
-        # displaced old min1 falls to slot 2; otherwise challenge slot 2
-        d2_ref[:] = jnp.where(lt1, b1, jnp.where(lt2, blk, b2))
-        i2_ref[:] = jnp.where(lt1, x1, jnp.where(lt2, gidx, x2))
+        chunk_id = j * chunks_per_tile + g
+        key = (
+            jax.lax.bitcast_convert_type(blk, jnp.int32) & ~chunk_mask
+        ) | chunk_id
+        s1 = s1_ref[:]
+        # two smallest of {key, s1, s2} = (min, median); three int ops
+        s1_ref[:] = jnp.minimum(key, s1)
+        s2_ref[:] = jnp.minimum(jnp.maximum(key, s1), s2_ref[:])
 
 
 @partial(
@@ -105,9 +118,12 @@ def knn_pallas(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Candidate KNN ``(indices, sq_dists)`` of shape ``(Q, nn_count)``.
 
-    Candidates, not guaranteed-exact neighbors: callers should over-fetch
-    (``nn_count = k + slack``) and exactly re-rank, the same discipline as
-    the ``approx_min_k`` scan path (``neighbors._get_nns``).
+    Candidates, not guaranteed-exact neighbors; returned distances carry
+    the packed-key truncation (<= 2^(chunk_bits-23) relative) and are not
+    guaranteed sorted (the merge is an approximate partial reduction).
+    Callers should over-fetch (``nn_count = k + slack``) and exactly
+    re-rank, the same discipline as the ``approx_min_k`` scan path
+    (``neighbors._get_nns``).
     """
     if train_tile % bins != 0:
         raise ValueError(f"bins {bins} must divide train_tile {train_tile}")
@@ -116,12 +132,25 @@ def knn_pallas(
 
     nt = math.ceil(train_count / train_tile)
     t_padded = nt * train_tile
+    total_chunks = t_padded // bins
+    chunk_bits = max(1, math.ceil(math.log2(total_chunks)))
+    if chunk_bits > 14:
+        raise ValueError(
+            f"{train_count} train points need {chunk_bits} chunk bits at "
+            f"bins={bins}; > 14 bits erodes candidate resolution — raise "
+            "bins or shard the train set"
+        )
+    chunk_mask = (1 << chunk_bits) - 1
+
     train_pad = jnp.pad(
         train.astype(jnp.float32), ((0, t_padded - train_count), (0, 0))
     )
     tsq = jnp.sum(train_pad * train_pad, axis=-1)
-    # +inf norm on padded rows keeps them out of every bin minimum
-    tsq = jnp.where(jnp.arange(t_padded) < train_count, tsq, jnp.inf)
+    # huge-but-finite norm keeps padded rows out of every bin minimum
+    # (+inf would turn into NaN once chunk bits are OR'ed into the key)
+    tsq = jnp.where(
+        jnp.arange(t_padded) < train_count, tsq, jnp.float32(1e30)
+    )
 
     nq = math.ceil(query_count / query_tile)
     q_padded = nq * query_tile
@@ -130,8 +159,8 @@ def knn_pallas(
     )
 
     grid = (nq, nt)
-    kernel = partial(_knn_body, bins)
-    d1, i1, d2, i2 = pl.pallas_call(
+    kernel = partial(_knn_body, bins, chunk_mask)
+    s1, s2 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -153,12 +182,10 @@ def knn_pallas(
                 (query_tile, bins), lambda i, j: (i, 0),
                 memory_space=pltpu.VMEM,
             )
-            for _ in range(4)
+            for _ in range(2)
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((q_padded, bins), jnp.float32),
             jax.ShapeDtypeStruct((q_padded, bins), jnp.int32),
-            jax.ShapeDtypeStruct((q_padded, bins), jnp.float32),
             jax.ShapeDtypeStruct((q_padded, bins), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -167,12 +194,20 @@ def knn_pallas(
         interpret=interpret,
     )(q_pad, train_pad.T, tsq[None, :])
 
-    cand_d = jnp.concatenate([d1, d2], axis=1)  # (Q, 2*bins)
-    cand_i = jnp.concatenate([i1, i2], axis=1)
+    # merge via approx_min_k (TPU PartialReduce): an exact lax.top_k here
+    # is a full per-row sort of 2*bins lanes and dominated the whole query
+    # (~10 ms of a 16.5 ms batch at Q=8192, bins=1024); the approximate
+    # merge's boundary loss is absorbed by the caller's over-fetch + exact
+    # re-rank, like the per-tile selection itself
+    keys = jax.lax.bitcast_convert_type(
+        jnp.concatenate([s1, s2], axis=1), jnp.float32
+    )  # (Q, 2*bins), non-negative: float order == stored int order
     k = min(nn_count, 2 * bins)
-    negd, sel = jax.lax.top_k(-cand_d, k)
-    idx = jnp.take_along_axis(cand_i, sel, axis=1)
-    return (
-        idx[:query_count],
-        jnp.maximum(-negd, 0.0)[:query_count],
-    )
+    vals, sel = jax.lax.approx_min_k(keys, k)
+    # algebraic decode — no gather: bin = merge position mod bins, chunk =
+    # low key bits, column = chunk * bins + bin
+    vbits = jax.lax.bitcast_convert_type(vals, jnp.int32)
+    idx = (vbits & chunk_mask) * bins + (sel % bins)
+    d2 = jax.lax.bitcast_convert_type(vbits & ~chunk_mask, jnp.float32)
+    idx = jnp.minimum(idx, train_count - 1)  # padded-column safety net
+    return idx[:query_count], d2[:query_count]

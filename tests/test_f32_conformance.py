@@ -55,6 +55,7 @@ def _oracle_f64(nf, q, y, ls, noise):
 _BUDGETS = [(1e-1, 5e-5), (1e-2, 5e-4), (1e-3, 5e-3)]
 
 
+@pytest.mark.slow  # one ~45 s compile of the f32+f64 lanes pair on 2 cores
 @pytest.mark.parametrize("noise,budget", _BUDGETS)
 def test_f32_budget_lanes(problem, noise, budget):
     nf, q, y = problem

@@ -86,7 +86,11 @@ def draws(rng):
             {"init_points": 5, "n_iter": 15, "random_state": 1},
             marks=pytest.mark.slow,
         ),
-        (Adam_optimize, lool_fn, {"n_iter": 150, "learning_rate": 0.05}),
+        pytest.param(
+            Adam_optimize, lool_fn,
+            {"n_iter": 150, "learning_rate": 0.05},
+            marks=pytest.mark.slow,
+        ),
     ],
     ids=["lbfgs-lool", "lbfgs-mse", "bayes-lool", "adam-lool"],
 )

@@ -44,10 +44,9 @@ def test_candidate_recall_and_distances(problem):
     # ~ C(40,3)/512^2 ~= 0.04 per query => recall >= ~0.995
     assert _recall(idx, order, k) > 0.99
     # returned distances are the true squared-l2 of the returned columns
+    # (order is NOT guaranteed — the merge is approximate; callers re-rank)
     true = np.take_along_axis(d2, idx, axis=1)
     np.testing.assert_allclose(dists, true, rtol=0, atol=5e-5)
-    # ... and sorted ascending
-    assert np.all(np.diff(dists, axis=1) >= -1e-6)
 
 
 def test_overfetch_plus_rerank_is_exact_in_practice(problem):

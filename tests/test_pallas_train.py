@@ -86,7 +86,12 @@ def test_value_and_grad_conformance(rng, kern, noise_free, loss, multivariate):
 
 @pytest.mark.parametrize(
     "kern,noise_free,loss,multivariate",
-    [(1.5, True, "lool", False), ("rbf", False, "mse", True)],
+    [
+        pytest.param(
+            1.5, True, "lool", False, marks=pytest.mark.slow
+        ),  # ~60 s f64 grad compile; rbf/mse sentinel stays fast
+        ("rbf", False, "mse", True),
+    ],
 )
 def test_value_and_grad_conformance_fast(
     rng, kern, noise_free, loss, multivariate
@@ -130,6 +135,7 @@ def test_uneven_batch_tile_fallback(rng):
     assert np.isfinite(float(v)) and np.isfinite(float(g["length_scale"]))
 
 
+@pytest.mark.slow
 def test_fused_chassis_matches_generic(rng):
     """Fused_L_BFGS_B_optimize (both engines) lands at the same optimum as
     the generic L-BFGS-B chassis."""
@@ -155,6 +161,7 @@ def test_fused_chassis_matches_generic(rng):
         )
 
 
+@pytest.mark.slow
 def test_fused_chassis_falls_back_on_free_smoothness(rng):
     from muygpys_tpu.optimize import Fused_L_BFGS_B_optimize
 
