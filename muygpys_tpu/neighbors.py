@@ -250,8 +250,10 @@ class NN_Wrapper:
             if self.nn_method == "pallas":
                 from muygpys_tpu.pallas.knn import knn_pallas
 
+                # 1024 bins: the host KNN API favors recall over the merge
+                # cost (the serving path uses the faster 512-bin default)
                 cand_idx, _ = knn_pallas(
-                    self._train_dev, queries, cand_count
+                    self._train_dev, queries, cand_count, bins=1024
                 )
             elif self.train_count > _TRAIN_TILE:
                 cand_idx, _ = _brute_force_knn_scan(

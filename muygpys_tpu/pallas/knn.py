@@ -104,7 +104,8 @@ def _knn_body(bins, chunk_mask, q_ref, tT_ref, tsq_ref, s1_ref, s2_ref):
 @partial(
     jax.jit,
     static_argnames=(
-        "nn_count", "query_tile", "train_tile", "bins", "interpret"
+        "nn_count", "query_tile", "train_tile", "bins", "merge_recall",
+        "interpret",
     ),
 )
 def knn_pallas(
@@ -113,7 +114,8 @@ def knn_pallas(
     nn_count: int,
     query_tile: int = 128,
     train_tile: int = 2048,
-    bins: int = 1024,
+    bins: int = 512,
+    merge_recall: float = 0.99,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Candidate KNN ``(indices, sq_dists)`` of shape ``(Q, nn_count)``.
@@ -203,7 +205,10 @@ def knn_pallas(
         jnp.concatenate([s1, s2], axis=1), jnp.float32
     )  # (Q, 2*bins), non-negative: float order == stored int order
     k = min(nn_count, 2 * bins)
-    vals, sel = jax.lax.approx_min_k(keys, k)
+    # the merge's own PartialReduce recall (default 0.95) was the measured
+    # dominant neighbor-loss term — the kernel's bin-collision losses are
+    # ~10x smaller; 0.99 costs ~nothing at 2*bins inputs
+    vals, sel = jax.lax.approx_min_k(keys, k, recall_target=merge_recall)
     # algebraic decode — no gather: bin = merge position mod bins, chunk =
     # low key bits, column = chunk * bins + bin
     vbits = jax.lax.bitcast_convert_type(vals, jnp.int32)

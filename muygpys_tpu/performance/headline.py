@@ -254,20 +254,33 @@ def end_to_end_loop(iters, use_pallas: bool = True, knn_engine=None):
             )
 
     if knn_engine == "pallas":
+        # the FastServer "fused" engine formulation: Pallas candidate
+        # kernel, ONE gather of a packed [features | targets] table (row
+        # gathers cost more than the KNN kernel, PERF.md r2), exact
+        # re-rank of the +8 over-fetch on the gathered rows
+        import jax
+
         from muygpys_tpu.pallas.knn import knn_pallas
 
-        def candidates(train, queries):
-            return knn_pallas(train, queries, NN + 32)
+        def predict(train, targets, queries):
+            table = jnp.concatenate([train, targets], axis=1)
+            cand, _ = knn_pallas(train, queries, NN + 8)
+            rows = table[cand]  # (B, C, d+r)
+            xc = rows[:, :, :D_FEAT]
+            d2 = jnp.sum((xc - queries[:, None, :]) ** 2, -1)
+            _, sel = jax.lax.top_k(-d2, NN)
+            rows = jnp.take_along_axis(rows, sel[:, :, None], axis=1)
+            nf = jnp.transpose(rows[:, :, :D_FEAT], (1, 2, 0))
+            y = jnp.transpose(rows[:, :, D_FEAT:], (1, 2, 0))
+            mean, var = solve(nf, queries.T, y)
+            return jnp.sum(mean) + jnp.sum(var)
 
-    else:
-
-        def candidates(train, queries):
-            return _brute_force_knn_scan(train, queries, NN + 32)
+        return _loop(predict, iters, perturb_arg=2)
 
     def predict(train, targets, queries):
         # production NN_Wrapper path for train_count > 16384: tiled
         # candidate scan + exact-difference re-rank (neighbors._get_nns)
-        cand_idx, _ = candidates(train, queries)
+        cand_idx, _ = _brute_force_knn_scan(train, queries, NN + 32)
         idx, _ = _refine_knn(train, queries, cand_idx, NN)
         nf = jnp.transpose(train[idx], (1, 2, 0))  # (n, d, B)
         y = jnp.transpose(targets[idx], (1, 2, 0))  # (n, 1, B)

@@ -14,6 +14,19 @@ object.  Engines:
   hyperparameters as traced SMEM scalars so ONE cached executable serves
   every trained model of a given shape.  Requires Matern nu in
   {1/2, 3/2, 5/2, inf} or RBF.
+- ``"fused"``: everything on device in ONE compiled program per bucket —
+  Pallas KNN candidate kernel (:mod:`muygpys_tpu.pallas.knn`) over the
+  training set, a single gather of a packed ``[features | targets
+  (| noise)]`` table (TPU row gathers are expensive; one gather, not
+  three), exact re-rank of the over-fetched candidates, then the coords
+  solve kernel.  The KNN index passed in is used only for its
+  ``nn_count``; queries never leave the device between KNN and posterior.
+  Same model-class requirements as ``"pallas"``.  ~1M preds/sec/chip at
+  50k training points (PERF.md r2).  Neighbor sets match the exact
+  engines at ~0.9996; the residual boundary swaps move tail posteriors
+  by <~1.5% of signal rms (measured) — use ``"pallas"`` with an exact
+  ``NN_Wrapper`` when bit-faithful neighbor sets matter more than 2.7x
+  throughput.
 - ``"reference"``: the generic standard-layout path (for debugging).
 
 Model classes served (reference capability parity, SURVEY §2.5/§2.7):
@@ -83,7 +96,7 @@ class FastServer:
                 "FastServer requires an Isotropy or Anisotropy deformation, "
                 f"not {type(muygps.kernel.deformation)}"
             )
-        if engine not in ("lanes", "pallas", "reference"):
+        if engine not in ("lanes", "pallas", "fused", "reference"):
             raise ValueError(f"unknown engine {engine!r}")
 
         self.muygps = muygps
@@ -144,10 +157,10 @@ class FastServer:
             self._nu = float(muygps.kernel.smoothness())
             self._is_rbf = False
         self._metric_power = 2 if deformation.metric.name == "F2" else 1
-        if engine == "pallas":
+        if engine in ("pallas", "fused"):
             if not self._is_rbf and self._nu not in _CLOSED_FORM_NU:
                 raise ValueError(
-                    "pallas engine supports Matern nu in "
+                    f"{engine} engine supports Matern nu in "
                     "{0.5, 1.5, 2.5, inf} and RBF"
                 )
         if engine == "reference" and self._measurement_noise is not None:
@@ -221,7 +234,60 @@ class FastServer:
                 jnp.transpose(y, (1, 2, 0)),
             )
 
-        if self.engine == "pallas":
+        if self.engine == "fused":
+            from muygpys_tpu.pallas.fused_predict import (
+                fused_predict_coords_bl,
+            )
+            from muygpys_tpu.pallas.knn import knn_pallas
+
+            tile = int(math.gcd(self.bucket, 512))
+            nu = "rbf" if self._is_rbf else self._nu
+            params = jnp.concatenate(
+                [
+                    jnp.asarray(self._ls_vec, train.dtype),
+                    jnp.asarray([noise], train.dtype),
+                ]
+            )
+            metric_power = self._metric_power
+            d_feat = train.shape[1]
+            r = targets.shape[1]
+            # one packed table -> ONE row gather per query batch (TPU row
+            # gathers cost more than the KNN kernel itself, PERF.md r2)
+            cols = [train, targets]
+            if meas is not None:
+                cols.append(meas[:, None])
+            table = jnp.concatenate(
+                [jnp.asarray(c, train.dtype) for c in cols], axis=1
+            )
+            # +8 over-fetch: measured agreement 0.9996 after exact re-rank
+            # at the 512-bin kernel default (PERF.md r2 tuning table)
+            cand_count = min(nn_count + 8, train.shape[0])
+
+            @jax.jit
+            def predict(queries):
+                cand, _ = knn_pallas(train, queries, cand_count)
+                rows = table[cand]  # (B, C, d+r(+1))
+                xc = rows[:, :, :d_feat]
+                d2 = jnp.sum((xc - queries[:, None, :]) ** 2, -1)
+                _, sel = jax.lax.top_k(-d2, nn_count)  # exact re-rank
+                rows = jnp.take_along_axis(rows, sel[:, :, None], axis=1)
+                nf = jnp.transpose(rows[:, :, :d_feat], (1, 2, 0))
+                y = jnp.transpose(
+                    rows[:, :, d_feat:d_feat + r], (1, 2, 0)
+                )
+                noise_nn = (
+                    None if meas is None else rows[:, :, d_feat + r].T
+                )
+                mean, var = fused_predict_coords_bl(
+                    nf, queries.T, y, params,
+                    noise_nn=noise_nn,
+                    smoothness=nu,
+                    metric_power=metric_power,
+                    batch_tile=tile,
+                )
+                return mean.T, scale * var  # (B, r), (B,)
+
+        elif self.engine == "pallas":
             from muygpys_tpu.pallas.fused_predict import (
                 fused_predict_coords_bl,
             )
@@ -295,17 +361,24 @@ class FastServer:
         if np.asarray(test_features).ndim == 1:
             test = np.asarray(test_features)[:, None]
         count = test.shape[0]
-        nn_idx, _ = self.nbrs.get_nns(test)
+        fused = self.engine == "fused"
+        nn_idx = None if fused else self.nbrs.get_nns(test)[0]
 
         means, variances = [], []
         for start in range(0, count, self.bucket):
             chunk = test[start : start + self.bucket]
-            idx = np.asarray(nn_idx)[start : start + self.bucket]
             pad = self.bucket - chunk.shape[0]
             if pad:
                 chunk = np.pad(chunk, ((0, pad), (0, 0)), mode="edge")
-                idx = np.pad(idx, ((0, pad), (0, 0)), mode="edge")
-            m, v = self._predict_fn(jnp.asarray(chunk), jnp.asarray(idx))
+            if fused:
+                m, v = self._predict_fn(jnp.asarray(chunk))
+            else:
+                idx = np.asarray(nn_idx)[start : start + self.bucket]
+                if pad:
+                    idx = np.pad(idx, ((0, pad), (0, 0)), mode="edge")
+                m, v = self._predict_fn(
+                    jnp.asarray(chunk), jnp.asarray(idx)
+                )
             means.append(np.asarray(m))
             variances.append(np.asarray(v))
         mean = np.concatenate(means)[:count]

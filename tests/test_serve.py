@@ -90,6 +90,43 @@ def test_pallas_engine_interprets(problem, monkeypatch):
     np.testing.assert_allclose(var, var_ref, rtol=1e-8, atol=1e-10)
 
 
+def test_fused_engine_interprets(problem, monkeypatch):
+    """fused engine (on-device KNN + one-gather + re-rank + solve) on CPU
+    via interpret-mode kernels; must match the reference chain exactly
+    because the exact re-rank restores true neighbor sets."""
+    from muygpys_tpu.pallas import fused_predict as fp
+    from muygpys_tpu.pallas import knn as knn_mod
+
+    orig_fp = fp.fused_predict_coords_bl
+    orig_knn = knn_mod.knn_pallas
+
+    def interp_fp(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig_fp(*args, **kwargs)
+
+    def interp_knn(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig_knn(*args, **kwargs)
+
+    monkeypatch.setattr(
+        "muygpys_tpu.pallas.fused_predict.fused_predict_coords_bl",
+        interp_fp,
+    )
+    monkeypatch.setattr(
+        "muygpys_tpu.pallas.knn.knn_pallas", interp_knn
+    )
+    xtr, ytr, xte = problem
+    model = _model(1.5)
+    nbrs = NN_Wrapper(xtr, 12, nn_method="exact")
+    server = FastServer(model, nbrs, xtr, ytr, bucket=64, engine="fused")
+    mean, var = server.predict(xte[:40])
+    mean_ref, var_ref = _reference_predict(
+        model, xtr, ytr, xte[:40], nbrs
+    )
+    np.testing.assert_allclose(mean, mean_ref, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(var, var_ref, rtol=1e-8, atol=1e-10)
+
+
 def test_multivariate_lanes(problem, rng):
     xtr, _, xte = problem
     ytr = rng.standard_normal((300, 3))
