@@ -38,24 +38,37 @@ def _flatten(Kin: jnp.ndarray, nn_targets: jnp.ndarray):
 
 
 def analytic_scale_optim_unnormalized(
-    Kin: jnp.ndarray, nn_targets: jnp.ndarray, **kwargs
+    Kin: jnp.ndarray, nn_targets: jnp.ndarray, row_weights=None, **kwargs
 ) -> jnp.ndarray:
     if nn_targets.ndim == 2:
         nn_targets = nn_targets[:, :, None]
     L = lax.linalg.cholesky(Kin)
     W = solve_triangular(L, nn_targets, lower=True)
-    return jnp.sum(W * W)
+    terms = W * W
+    if row_weights is not None:
+        terms = terms * jnp.asarray(row_weights, terms.dtype).reshape(
+            -1, 1, 1
+        )
+    return jnp.sum(terms)
 
 
 def analytic_scale_optim(
     Kin: jnp.ndarray,
     nn_targets: jnp.ndarray,
     batch_count_global: Optional[float] = None,
+    row_weights=None,
     **kwargs,
 ) -> jnp.ndarray:
     Kin_flat, y_flat, nn_count = _flatten(Kin, nn_targets)
     if batch_count_global is None:
-        batch_count_global = Kin.shape[0]
-    return analytic_scale_optim_unnormalized(Kin_flat, y_flat) / (
-        batch_count_global * nn_count
-    )
+        if row_weights is not None:
+            # 0/1 weights make padded rows absent from numerator AND count
+            # (ragged sharding, parallel.sharding.shard_ragged)
+            batch_count_global = jnp.sum(
+                jnp.asarray(row_weights, Kin.dtype)
+            )
+        else:
+            batch_count_global = Kin.shape[0]
+    return analytic_scale_optim_unnormalized(
+        Kin_flat, y_flat, row_weights=row_weights
+    ) / (batch_count_global * nn_count)

@@ -46,9 +46,16 @@ def make_var_predict_and_loss_fn(
 ) -> Callable:
     """Mean+variance strategy: also estimates the scale per evaluation."""
 
+    # 0/1 row weights (ragged sharding) must also reach the scale
+    # estimator: the reference MPI backend allreduces numerator AND batch
+    # count (_src/optimize/scale/mpi.py:20-38); weights are that count
+    row_weights = loss_kwargs.get("row_weights")
+
     def predict_and_loss_fn(Kin, Kcross, *args, **kwargs):
         predictions = mean_fn(Kin, Kcross, batch_nn_targets, **kwargs)
-        scale = scale_fn(Kin, batch_nn_targets, **kwargs)
+        scale = scale_fn(
+            Kin, batch_nn_targets, row_weights=row_weights, **kwargs
+        )
         variances = var_fn(Kin, Kcross, **kwargs)
         if target_mask is not None:
             predictions = predictions[:, target_mask]

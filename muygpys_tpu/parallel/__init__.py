@@ -14,6 +14,7 @@ from muygpys_tpu.parallel.sharding import (
     shard_batch,
     shard_batch_global,
     shard_global,
+    shard_ragged,
 )
 
 __all__ = [
@@ -30,4 +31,5 @@ __all__ = [
     "shard_batch",
     "shard_batch_global",
     "shard_global",
+    "shard_ragged",
 ]

@@ -9,11 +9,13 @@ scale backends perform explicitly (``_src/optimize/loss/mpi.py``,
 ``_src/optimize/scale/mpi.py``).
 
 Notes on semantics parity:
-- The reference pads ragged chunks by giving early ranks one extra row
-  (``_get_chunk_sizes``).  Here the batch must be divisible by the mesh size
-  or it is padded; ``shard`` pads with edge rows and returns the pad count so
-  reductions can mask (losses are sums of per-row terms, so we instead
-  recommend trimming the batch to a multiple of the mesh — ``even_batch``).
+- The reference handles ragged chunks by giving early ranks one extra row
+  (``_get_chunk_sizes``).  XLA wants equal shards, so ragged batches go
+  through :func:`shard_ragged` instead: pad with edge rows + 0/1 row
+  weights that every loss and the analytic scale honor — padded rows are
+  semantically absent and sharded results equal serial exactly
+  (tests/test_distributed.py ragged tests).  ``even_batch`` remains for
+  callers who prefer trimming.
 """
 
 from __future__ import annotations
@@ -63,6 +65,41 @@ def even_batch(batch_count: int, mesh: Mesh) -> int:
     """Largest batch size <= batch_count divisible by the mesh size."""
     n = mesh.devices.size
     return (batch_count // n) * n
+
+
+def shard_ragged(tensors, mesh: Mesh, axis_name: Optional[str] = None):
+    """Shard a batch whose size does not divide the mesh: pad + mask.
+
+    Pads every tensor's leading axis up to a mesh multiple with copies of
+    the last row (keeping kernel matrices well-conditioned) and returns
+    ``(padded_sharded_tensors, row_weights)`` where ``row_weights`` is a
+    0/1 vector, sharded the same way.  Pass it to the objective as
+    ``loss_kwargs={"row_weights": row_weights}``: every loss and the
+    analytic scale weight per-row terms by it, so padded rows are
+    semantically absent — objective, gradients, and sigma^2 equal the
+    unpadded serial values exactly (tests/test_distributed.py).
+
+    This is the TPU equivalent of the reference's ragged MPI chunks
+    (``_get_chunk_sizes`` gives early ranks one extra row,
+    ``_src/mpi_utils.py:36-41``): XLA needs equal shards, so the extra
+    rows exist everywhere but count nowhere.
+    """
+    batch = int(tensors[0].shape[0])
+    n = mesh.devices.size
+    padded = -(-batch // n) * n
+    pad = padded - batch
+
+    def pad_one(t):
+        t = jnp.asarray(t)
+        if pad:
+            t = jnp.concatenate(
+                [t] + [t[-1:]] * pad, axis=0
+            )
+        return shard(t, mesh, axis_name)
+
+    out = type(tensors)(pad_one(t) for t in tensors)
+    weights = jnp.where(jnp.arange(padded) < batch, 1.0, 0.0)
+    return out, shard(weights, mesh, axis_name)
 
 
 def shard_global(x, mesh: Mesh, axis_name: Optional[str] = None):
