@@ -247,11 +247,15 @@ class NN_Wrapper:
             # (dense million-point sets)
             cand_count = min(nn_count + 32, self.train_count)
             queries = jnp.asarray(test)
-            if self.nn_method == "pallas":
+            if self.nn_method == "pallas" and self.train_count >= 2048:
                 from muygpys_tpu.pallas.knn import knn_pallas
 
                 # 1024 bins: the host KNN API favors recall over the merge
-                # cost (the serving path uses the faster 512-bin default)
+                # cost (the serving path uses the faster 512-bin default).
+                # Guarded on train_count >= 2*bins: below that the kernel's
+                # candidate slots cannot all hold distinct real columns
+                # (duplicate indices possible, muygpys_tpu/pallas/knn.py)
+                # and single-tile exact brute force is faster anyway.
                 cand_idx, _ = knn_pallas(
                     self._train_dev, queries, cand_count, bins=1024
                 )

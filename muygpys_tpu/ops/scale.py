@@ -59,6 +59,20 @@ def analytic_scale_optim(
     row_weights=None,
     **kwargs,
 ) -> jnp.ndarray:
+    """sigma^2 = numerator / (batch_count_global * nn_count).
+
+    ``row_weights`` (0/1 per row) masks padded rows out of the numerator.
+    When it is supplied and ``batch_count_global`` is left ``None``, the
+    denominator count is ``sum(row_weights)`` — under jit over a sharded
+    batch axis that sum lowers to the global (psum'd) weight total, which
+    is the reference MPI semantics (``_src/optimize/scale/mpi.py:20-38``).
+
+    Contract when BOTH are supplied (per-shard ``shard_map``-style callers
+    that cannot rely on a sharded global sum): ``batch_count_global`` must
+    equal the GLOBAL sum of ``row_weights`` across all shards — i.e. the
+    unpadded global batch count — not the raw padded batch size, or the
+    ragged-tail rows get double-discounted.
+    """
     Kin_flat, y_flat, nn_count = _flatten(Kin, nn_targets)
     if batch_count_global is None:
         if row_weights is not None:

@@ -126,9 +126,25 @@ def knn_pallas(
     Callers should over-fetch (``nn_count = k + slack``) and exactly
     re-rank, the same discipline as the ``approx_min_k`` scan path
     (``neighbors._get_nns``).
+
+    Degenerate regime: when ``train_count < 2 * bins`` some bin slots
+    cannot be filled with distinct real columns, so surviving sentinel /
+    padded keys are returned with ``+inf`` distance and an in-range (but
+    possibly duplicate) index.  Callers wanting distinct neighbors at that
+    scale should use an exact engine (single-tile brute force is faster
+    there anyway); ``nn_count > 2 * bins`` raises, since the kernel retains
+    at most two candidates per residue bin.
     """
     if train_tile % bins != 0:
         raise ValueError(f"bins {bins} must divide train_tile {train_tile}")
+    if nn_count > 2 * bins:
+        # the running state holds exactly two candidates per residue bin, so
+        # 2*bins is a hard ceiling on distinct survivors — silently clamping
+        # would hand the caller a truncated candidate set
+        raise ValueError(
+            f"nn_count {nn_count} exceeds the 2*bins={2 * bins} candidates "
+            "the kernel retains; raise bins or use an exact engine"
+        )
     query_count, feat = queries.shape
     train_count = train.shape[0]
 
@@ -214,5 +230,15 @@ def knn_pallas(
     vbits = jax.lax.bitcast_convert_type(vals, jnp.int32)
     idx = (vbits & chunk_mask) * bins + (sel % bins)
     d2 = jax.lax.bitcast_convert_type(vbits & ~chunk_mask, jnp.float32)
-    idx = jnp.minimum(idx, train_count - 1)  # padded-column safety net
+    # sentinel (never-filled slot, 2^127) and padded-column (~1e30 norm)
+    # keys can survive the merge when train_count < 2*bins leaves bin slots
+    # unfillable (or, rarely, via merge-recall leakage): flag them with an
+    # +inf distance so callers can mask, and clamp the decoded index into
+    # range so downstream gathers stay legal.  In this regime the candidate
+    # list may repeat a training index — callers that need distinct
+    # neighbors must over-fetch and re-rank (the in-tree callers fall back
+    # to the exact engines for small train sets instead).
+    invalid = d2 >= jnp.float32(1e29)
+    d2 = jnp.where(invalid, jnp.float32(jnp.inf), d2)
+    idx = jnp.minimum(idx, train_count - 1)
     return idx[:query_count], d2[:query_count]

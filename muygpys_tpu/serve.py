@@ -263,9 +263,20 @@ class FastServer:
             # at the 512-bin kernel default (PERF.md r2 tuning table)
             cand_count = min(nn_count + 8, train.shape[0])
 
+            # below 2*bins=1024 train rows the packed-key kernel cannot fill
+            # every candidate slot with a distinct real column (duplicate
+            # indices possible, muygpys_tpu/pallas/knn.py) — and single-tile
+            # exact brute force is faster at that scale
+            use_kernel = train.shape[0] >= 1024
+
             @jax.jit
             def predict(queries):
-                cand, _ = knn_pallas(train, queries, cand_count)
+                if use_kernel:
+                    cand, _ = knn_pallas(train, queries, cand_count)
+                else:
+                    from muygpys_tpu.neighbors import _brute_force_knn
+
+                    cand, _ = _brute_force_knn(train, queries, cand_count)
                 rows = table[cand]  # (B, C, d+r(+1))
                 xc = rows[:, :, :d_feat]
                 d2 = jnp.sum((xc - queries[:, None, :]) ** 2, -1)

@@ -91,3 +91,50 @@ def test_rejects_ragged_bins():
             jnp.zeros((100, 2)), jnp.zeros((10, 2)), 5,
             train_tile=1024, bins=600, interpret=True,
         )
+
+
+def test_rejects_nn_count_beyond_slot_capacity():
+    # the kernel retains two candidates per residue bin: asking for more
+    # than 2*bins must raise, not silently truncate (ADVICE r2)
+    with pytest.raises(ValueError, match="2\\*bins"):
+        knn_pallas(
+            jnp.zeros((5000, 2)), jnp.zeros((10, 2)), 300,
+            train_tile=1024, bins=128, interpret=True,
+        )
+
+
+def test_small_train_flags_unfillable_slots_with_inf(problem):
+    # train_count < 2*bins: sentinel/padded keys that survive the merge
+    # must surface as +inf distances (duplicate-index guard, ADVICE r2)
+    train, queries, _, _ = problem
+    tiny = train[:40]
+    k = 40  # = train_count: forces every surviving slot into the output
+    idx, dists = knn_pallas(
+        jnp.asarray(tiny), jnp.asarray(queries[:8]), k,
+        query_tile=128, train_tile=1024, bins=512, interpret=True,
+    )
+    idx, dists = np.asarray(idx), np.asarray(dists)
+    assert idx.shape == (8, k) and (idx >= 0).all() and (idx < 40).all()
+    finite = np.isfinite(dists)
+    # real candidates carry true distances; unfillable slots are +inf
+    d2t = ((queries[:8, None, :] - tiny[None, :, :]) ** 2).sum(-1)
+    true = np.take_along_axis(d2t, idx, axis=1)
+    np.testing.assert_allclose(dists[finite], true[finite], atol=5e-5)
+    for i in range(8):
+        # every distinct finite-flagged index is a real distinct neighbor
+        real = idx[i][finite[i]]
+        assert len(set(real.tolist())) == len(real)
+
+
+def test_nn_wrapper_pallas_small_train_falls_back_exact(rng):
+    # below 2*bins the host API must agree exactly with the exact engine
+    from muygpys_tpu.neighbors import NN_Wrapper
+
+    train = rng.uniform(size=(500, 3)).astype(np.float32)
+    queries = rng.uniform(size=(64, 3)).astype(np.float32)
+    exact = NN_Wrapper(train, nn_count=10, nn_method="exact")
+    pal = NN_Wrapper(train, nn_count=10, nn_method="pallas")
+    ie, de = exact.get_nns(queries)
+    ip, dp = pal.get_nns(queries)
+    np.testing.assert_array_equal(ie, ip)
+    np.testing.assert_allclose(de, dp, rtol=1e-6)
