@@ -111,13 +111,26 @@ class MuyGPS:
         """Fused mean + scaled variance from ONE batched solve (serve path).
 
         Faster than calling :meth:`posterior_mean` and
-        :meth:`posterior_variance` separately (which re-factorize Kin);
-        univariate and diagonal-multivariate layouts only.
+        :meth:`posterior_variance` separately (which re-factorize Kin).
+        Univariate / diagonal-multivariate layouts route through the
+        single-solve LU path; multi-output block layouts (``Kin`` 5-d —
+        the lensing shear family) route through the batch-on-lanes
+        Cholesky, which tiles the small flattened blocks onto full-width
+        vector ops (see :mod:`muygpys_tpu.ops.lanes_solver`).
         """
         perturbed = self.noise.perturb(Kin, **kwargs)
-        mean, var = _solve.serve_mean_and_variance(
-            perturbed, Kcross, self.kernel.Kout(), batch_nn_targets
-        )
+        if Kin.ndim == 5:
+            from muygpys_tpu.ops.lanes_solver import (
+                multiout_serve_mean_and_variance,
+            )
+
+            mean, var = multiout_serve_mean_and_variance(
+                perturbed, Kcross, self.kernel.Kout(), batch_nn_targets
+            )
+        else:
+            mean, var = _solve.serve_mean_and_variance(
+                perturbed, Kcross, self.kernel.Kout(), batch_nn_targets
+            )
         return mean, self.scale() * var
 
     def fast_coefficients(

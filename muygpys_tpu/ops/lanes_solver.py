@@ -116,3 +116,64 @@ def serve_mean_and_variance_bl(
     mean = jnp.einsum("nb,nrb->rb", Kcross, sol[:, 1:, :])
     var = Kout - jnp.einsum("nb,nb->b", Kcross, sol[:, 0, :])
     return mean, var
+
+
+def serve_mean_and_variance_multiout_bl(
+    Kin: jnp.ndarray,
+    Kcross: jnp.ndarray,
+    Kout: jnp.ndarray,
+    nn_targets: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-output posterior (full covariance block) in batch-last layout.
+
+    The multi-output analogue of :func:`serve_mean_and_variance_bl` for
+    kernels whose cross-covariance carries an output dimension (the lensing
+    shear family, SURVEY §2.4): ``Kin (m, m, B)`` with ``m`` the flattened
+    observation size (e.g. 3*nn for the 3-in/3-out shear kernel),
+    ``Kcross (m, o, B)``, ``Kout (o, o)``, ``nn_targets (m, B)``.
+
+    One forward substitution against the stacked ``[Kcross | y]`` right-hand
+    side serves both moments: with ``z = L^{-1}[Kcross | y]``,
+    ``mean = zc^T zy`` and ``cov = Kout - zc^T zc`` — no back substitution.
+
+    Returns mean ``(o, B)`` and posterior covariance ``(o, o, B)``.
+    """
+    o = Kcross.shape[1]
+    rhs = jnp.concatenate([Kcross, nn_targets[:, None, :]], axis=1)
+    L = cholesky_bl(Kin)
+    z = tri_solve_fwd_bl(L, rhs)  # (m, o+1, B)
+    zc = z[:, :o, :]
+    zy = z[:, o, :]
+    mean = jnp.einsum("mob,mb->ob", zc, zy)
+    cov = Kout[:, :, None] - jnp.einsum("mob,mpb->opb", zc, zc)
+    return mean, cov
+
+
+def multiout_serve_mean_and_variance(
+    Kin: jnp.ndarray,
+    Kcross: jnp.ndarray,
+    Kout: jnp.ndarray,
+    nn_targets: jnp.ndarray,
+    **kwargs,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Frontend-layout multi-output serve via the batch-last solver.
+
+    Accepts the block-tensor layout the shear kernels produce
+    (reference ``_src/gp/kernels/shear/numpy.py`` block assembly):
+    ``Kin (B, I, n, I, n)``, ``Kcross (B, I, n, O)``,
+    ``nn_targets (B, I, n)``, ``Kout (O, O)``.  Returns mean ``(B, O)``
+    and posterior covariance ``(B, O, O)`` — same contract as the generic
+    :func:`muygpys_tpu.ops.solve.posterior_mean_and_variance`, but with
+    the flattened ``I*n`` observation block on the sublane axis and the
+    batch on the lane axis (the layout discovery in this module's header).
+    """
+    B, I, n = Kin.shape[0], Kin.shape[1], Kin.shape[2]
+    m = I * n
+    o = Kcross.shape[-1]
+    Kin_bl = jnp.transpose(Kin.reshape(B, m, m), (1, 2, 0))
+    Kc_bl = jnp.transpose(Kcross.reshape(B, m, o), (1, 2, 0))
+    y_bl = jnp.transpose(nn_targets.reshape(B, m), (1, 0))
+    mean, cov = serve_mean_and_variance_multiout_bl(
+        Kin_bl, Kc_bl, Kout, y_bl
+    )
+    return jnp.transpose(mean, (1, 0)), jnp.transpose(cov, (2, 0, 1))

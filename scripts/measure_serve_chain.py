@@ -122,11 +122,12 @@ def stage_loop(iters, stage: str):
 
 
 def main():
+    stages = sys.argv[1] if len(sys.argv) > 1 else "ABCDE"
     h.enable_persistent_cache(REPO)
     inputs = h.make_serve_inputs()
     results = {}
     prev = 0.0
-    for stage in ["A", "B", "C", "D", "E"]:
+    for stage in stages:
         t = h.measure(functools.partial(stage_loop, stage=stage), inputs)
         results[stage] = t
         print(

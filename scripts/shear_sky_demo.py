@@ -126,11 +126,10 @@ def main():
 
     @jax.jit
     def predict(cw_, pw_, snt_):
+        # one shared batch-on-lanes Cholesky for mean + full (3, 3)
+        # posterior covariance (ops/lanes_solver.multiout_serve_...)
         Kin, Kcross = model.kernel(pw_), model.kernel(cw_)
-        return (
-            model.posterior_mean(Kin, Kcross, snt_),
-            model.posterior_variance(Kin, Kcross),
-        )
+        return model.posterior_mean_and_variance(Kin, Kcross, snt_)
 
     mean, var = predict(cw_s, pw_s, snt_s)  # compile
     mean = np.asarray(mean)

@@ -291,3 +291,53 @@ class TestShearOptimization:
         # inside bounds: closer than the 0.15 init and within 25% sq-rel-err
         assert abs(ls - ls_true) < abs(0.15 - ls_true), f"ls={ls}"
         assert ((ls_true - ls) / ls_true) ** 2 < 2.5e-1, f"ls={ls}"
+
+
+class TestLanesMultiout:
+    """The batch-on-lanes multi-output serve path must agree with the
+    generic flattened solve (muygpys_tpu/ops/solve.py) for both shear
+    kernels — one shared Cholesky, full (O, O) posterior covariance."""
+
+    @pytest.mark.parametrize("family", ["33", "23"])
+    def test_matches_generic_posteriors(self, grid, rng, family):
+        ls, noise = 0.12, 1e-4
+        n = grid.shape[0]
+        test = rng.uniform(0.05, 0.95, size=(9, 2))
+        nn = 11
+        d = np.linalg.norm(test[:, None] - grid[None], axis=-1)
+        nn_indices = np.argsort(d, axis=1)[:, :nn]
+
+        if family == "33":
+            kernel = ShearKernel(
+                deformation=DifferenceIsotropy(F2, length_scale=Parameter(ls))
+            )
+            noise_model = ShearNoise33(noise)
+            targets = rng.standard_normal((n, 3))
+        else:
+            kernel = ShearKernel2in3out(
+                deformation=DifferenceIsotropy(F2, length_scale=Parameter(ls))
+            )
+            noise_model = HomoscedasticNoise(noise)
+            targets = rng.standard_normal((n, 2))
+        model = MuyGPS(kernel=kernel, noise=noise_model, scale=FixedScale())
+
+        pairwise = model.kernel.deformation.pairwise_tensor(
+            jnp.asarray(grid), nn_indices
+        )
+        crosswise = model.kernel.deformation.crosswise_tensor(
+            jnp.asarray(test), jnp.asarray(grid),
+            np.arange(test.shape[0]), nn_indices,
+        )
+        Kin = model.kernel(pairwise)
+        Kcross = model.kernel(crosswise)
+        nn_targets = jnp.asarray(targets[nn_indices].swapaxes(-2, -1))
+
+        mean_ref = np.asarray(model.posterior_mean(Kin, Kcross, nn_targets))
+        var_ref = np.asarray(model.posterior_variance(Kin, Kcross))
+        mean, var = model.posterior_mean_and_variance(
+            Kin, Kcross, nn_targets
+        )
+        assert mean.shape == mean_ref.shape == (9, 3)
+        assert var.shape == var_ref.shape == (9, 3, 3)
+        np.testing.assert_allclose(mean, mean_ref, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(var, var_ref, rtol=1e-9, atol=1e-12)
