@@ -19,6 +19,11 @@ from muygpys_tpu.optimize.loss import (
     mse_fn,
     pseudo_huber_fn,
 )
+from muygpys_tpu.optimize.device_chassis import (
+    Device_LBFGS_optimize,
+    Fused_Device_LBFGS_optimize,
+    device_lbfgs,
+)
 from muygpys_tpu.optimize.fast_objective import make_fast_loo_objective
 from muygpys_tpu.optimize.fused_chassis import Fused_L_BFGS_B_optimize
 from muygpys_tpu.optimize.objective import make_loo_crossval_fn
@@ -30,6 +35,9 @@ __all__ = [
     "LossFn",
     "OptimizeFn",
     "cross_entropy_fn",
+    "Device_LBFGS_optimize",
+    "device_lbfgs",
+    "Fused_Device_LBFGS_optimize",
     "Fused_L_BFGS_B_optimize",
     "full_filtered_batch",
     "get_balanced_batch",

@@ -1,0 +1,290 @@
+"""On-device L-BFGS chassis: the whole training trajectory in ONE program.
+
+The scipy-driven chassis (:func:`muygpys_tpu.optimize.L_BFGS_B_optimize`,
+:func:`muygpys_tpu.optimize.fused_chassis.Fused_L_BFGS_B_optimize`) evaluate
+the jitted objective from a host loop, paying one host<->device round trip
+per L-BFGS iteration (~33 ms each through the axon relay — PERF.md), so a
+40-iteration training run is >1 s of wall clock regardless of how fast the
+objective kernel is (0.115 ms for the fused Pallas value+grad).
+
+This chassis instead runs optax's L-BFGS (two-loop recursion + zoom line
+search) inside a single ``jax.lax.while_loop`` under one ``jit``: the entire
+hyperparameter optimization — every line-search probe included — is one XLA
+program and one relay round trip.  Convergence semantics mirror scipy's
+L-BFGS-B defaults (stop on gradient sup-norm or relative objective decrease;
+``ftol``/``gtol``/``maxiter`` have the same meaning), and the same
+unconstrained scaled-sigmoid reparameterization keeps every proposal inside
+the reference's box bounds structurally (SURVEY §7 delta 2; reference bounds
+semantics: ``gp/hyperparameter/scalar.py:208-267``,
+``_src/optimize/chassis/numpy.py:57-81``).
+
+Under a sharded objective the compiled loop is replicated by construction —
+every host traces the identical program and the psum-reduced objective keeps
+the trajectories in lockstep, exactly the reference's replicated-optimizer
+MPI discipline (``_src/optimize/chassis/jax.py:14-20``) without the
+per-iteration allreduce-to-host.
+
+Entry points:
+
+- :data:`Device_LBFGS_optimize` — ``OptimizeFn`` over the generic LOO
+  objective: every model class the gradient chassis supports (anisotropy,
+  shear, hierarchical parameters, any loss) trains fully on device.
+- :func:`Fused_Device_LBFGS_optimize` — the production fast path: the
+  lane-layout objective or the fused Pallas value+analytic-gradient kernel
+  (wrapped in ``jax.custom_vjp`` so the line search differentiates it like
+  any other function), selected exactly like
+  :func:`~muygpys_tpu.optimize.fused_chassis.Fused_L_BFGS_B_optimize`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from muygpys_tpu.gp.muygps import MuyGPS
+from muygpys_tpu.optimize import bijectors
+from muygpys_tpu.optimize.chassis import (
+    OptimizeFn,
+    _get_opt_lists,
+    _new_muygps,
+)
+from muygpys_tpu.optimize.objective import make_loo_crossval_fn
+
+_BIG = 1e12  # finite penalty for NaN/inf proposals: line search backtracks
+
+
+def device_lbfgs(
+    fun: Callable,
+    z0,
+    maxiter: int = 200,
+    gtol: float = 1e-7,
+    ftol: float = 2.22e-9,
+    memory_size: int = 15,
+):
+    """Minimize ``fun(pytree) -> scalar`` in one jitted ``while_loop``.
+
+    Stopping mirrors scipy L-BFGS-B: sup-norm of the gradient below
+    ``gtol``, or relative objective decrease below ``ftol`` (scipy default
+    ``2.22e-9 = factr * eps``), or ``maxiter`` iterations.
+
+    Returns ``(z_final, info)`` where ``info`` is a dict of scalars
+    (``iterations``, ``value``, ``grad_norm``) already on the host.
+    """
+    import optax
+    import optax.tree_utils as otu
+
+    opt = optax.lbfgs(memory_size=memory_size)
+    value_and_grad = optax.value_and_grad_from_state(fun)
+
+    def step(carry):
+        params, state, _prev = carry
+        value, grad = value_and_grad(params, state=state)
+        # NaN-safe: a non-finite probe (f32 Cholesky on a numerically
+        # singular proposal) becomes a large finite value with zero
+        # gradient, so the line search backtracks instead of poisoning the
+        # two-loop history (same contract as chassis._scipy_optimize)
+        value = _finite_or_big(value)
+        grad = jax.tree.map(
+            lambda g: jnp.nan_to_num(g, posinf=0.0, neginf=0.0), grad
+        )
+        updates, state = opt.update(
+            grad, state, params, value=value, grad=grad, value_fn=fun
+        )
+        params = optax.apply_updates(params, updates)
+        return params, state, value
+
+    def cont(carry):
+        _, state, prev = carry
+        it = otu.tree_get(state, "count")
+        grad = otu.tree_get(state, "grad")
+        value = otu.tree_get(state, "value")
+        gmax = otu.tree_max(jax.tree.map(jnp.abs, grad))
+        frel = (prev - value) / jnp.maximum(
+            jnp.maximum(jnp.abs(prev), jnp.abs(value)), 1.0
+        )
+        return (it == 0) | (
+            (it < maxiter) & (gmax >= gtol) & (frel >= ftol)
+        )
+
+    @jax.jit
+    def run(z0):
+        state0 = opt.init(z0)
+        # carry dtype must match the objective's value dtype exactly
+        big = jnp.full((), _BIG, dtype=jax.eval_shape(fun, z0).dtype)
+        zf, state, _ = jax.lax.while_loop(cont, step, (z0, state0, big))
+        return (
+            zf,
+            otu.tree_get(state, "count"),
+            otu.tree_get(state, "value"),
+            otu.tree_max(
+                jax.tree.map(jnp.abs, otu.tree_get(state, "grad"))
+            ),
+        )
+
+    zf, it, value, gmax = run(z0)
+    info = {
+        "iterations": int(it),
+        "value": float(value),
+        "grad_norm": float(gmax),
+    }
+    return zf, info
+
+
+def _finite_or_big(v):
+    """NaN-safe objective: non-finite proposals become a large finite value
+    with (autodiff) zero gradient, so the zoom line search backtracks
+    instead of poisoning the two-loop history (same contract as the scipy
+    chassis' NaN guard, ``chassis._scipy_optimize``)."""
+    ok = jnp.isfinite(v)
+    safe = jnp.where(ok, v, 0.0)
+    return jnp.where(ok, safe, jnp.asarray(_BIG, v.dtype))
+
+
+def _device_lbfgs_optimize(
+    muygps: MuyGPS,
+    obj_fn: Callable,
+    verbose: bool = False,
+    maxiter: int = 200,
+    gtol: float = 1e-7,
+    ftol: float = 2.22e-9,
+    **kwargs,
+) -> MuyGPS:
+    """Generic-objective on-device L-BFGS (maximization convention)."""
+    x0_names, x0, bounds = _get_opt_lists(muygps, verbose=verbose)
+    to_theta, to_z = bijectors.make_param_bijector(x0_names, bounds)
+
+    def fun(zdict):
+        return _finite_or_big(-obj_fn(**to_theta(zdict)))
+
+    z0 = {
+        n: jnp.asarray(z)
+        for n, z in to_z({n: x0[i] for i, n in enumerate(x0_names)}).items()
+    }
+    zf, info = device_lbfgs(
+        fun, z0, maxiter=maxiter, gtol=gtol, ftol=ftol
+    )
+    if verbose:
+        print(f"device lbfgs: {info}")
+    params = {n: float(v) for n, v in to_theta(zf).items()}
+    return _new_muygps(muygps, x0_names, bounds, params)
+
+
+Device_LBFGS_optimize = OptimizeFn(_device_lbfgs_optimize, make_loo_crossval_fn)
+"""Fully on-device L-BFGS chassis over the generic LOO objective."""
+
+
+def Fused_Device_LBFGS_optimize(
+    muygps: MuyGPS,
+    batch_targets,
+    batch_nn_targets,
+    crosswise_dists,
+    pairwise_dists,
+    loss: str = "lool",
+    engine: str = "pallas",
+    verbose: bool = False,
+    interpret: Optional[bool] = None,
+    maxiter: int = 200,
+    gtol: float = 1e-7,
+    ftol: float = 2.22e-9,
+    **kwargs,
+) -> MuyGPS:
+    """Fused-objective on-device L-BFGS: one compiled program end to end.
+
+    Engine selection matches
+    :func:`~muygpys_tpu.optimize.fused_chassis.Fused_L_BFGS_B_optimize`:
+    ``"pallas"`` uses the fused value+analytic-gradient kernel
+    (:mod:`muygpys_tpu.pallas.fused_train`) wrapped in ``jax.custom_vjp`` so
+    ``optax``'s line search can differentiate it; unsupported configurations
+    (free smoothness, anisotropy) fall back to the batched-Cholesky XLA
+    objective (``layout="batched"`` — the unrolled lanes jaxpr would blow up
+    while_loop compile time, so it stays in the host-loop chassis).
+    """
+    from muygpys_tpu.optimize.fast_objective import make_fast_loo_objective
+
+    if engine not in ("pallas", "lanes"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    x0_names, x0, bounds = _get_opt_lists(muygps, verbose=verbose)
+    to_theta, to_z = bijectors.make_param_bijector(x0_names, bounds)
+
+    theta_value = None
+    if engine == "pallas":
+        from muygpys_tpu.pallas.fused_train import (
+            make_fused_train_objective,
+        )
+
+        try:
+            vag, _ = make_fused_train_objective(
+                muygps, batch_targets, batch_nn_targets,
+                crosswise_dists, pairwise_dists, loss=loss,
+                interpret=interpret,
+            )
+            v0, g0 = vag({n: x0[i] for i, n in enumerate(x0_names)})
+            if not (
+                np.isfinite(float(v0))
+                and all(
+                    np.isfinite(float(g0.get(n, 0.0))) for n in x0_names
+                )
+            ):
+                raise ValueError("non-finite probe value/gradient")
+
+            # analytic-gradient kernel as a differentiable function: the
+            # forward pass IS the value+grad pass, the VJP is a dot with
+            # the stored gradients — value_and_grad costs ONE kernel call
+            @jax.custom_vjp
+            def theta_value(theta_dict):
+                v, _ = vag(theta_dict)
+                return v
+
+            def _fwd(theta_dict):
+                v, g = vag(theta_dict)
+                return v, (g, theta_dict)
+
+            def _bwd(res, ct):
+                g, theta_dict = res
+                return (
+                    {
+                        n: ct * g.get(n, jnp.zeros_like(t))
+                        for n, t in theta_dict.items()
+                    },
+                )
+
+            theta_value.defvjp(_fwd, _bwd)
+        except Exception as e:  # noqa: BLE001 — any lowering failure
+            theta_value = None
+            if verbose:
+                print(f"pallas engine unavailable ({e}); using lanes")
+
+    if theta_value is None:
+        # batched layout, NOT lanes: the unrolled lanes solver's jaxpr grows
+        # with n and gets inlined several times into the zoom line search's
+        # while_loop body — compile time explodes.  The single-HLO batched
+        # Cholesky keeps the loop body O(1)-size.
+        obj_fn, _ = make_fast_loo_objective(
+            muygps, batch_targets, batch_nn_targets,
+            crosswise_dists, pairwise_dists, loss=loss, layout="batched",
+        )
+
+        def theta_value(theta_dict):
+            return obj_fn(theta_dict)
+
+    def fun(zdict):
+        return _finite_or_big(-theta_value(to_theta(zdict)))
+
+    z0 = {
+        n: jnp.asarray(z)
+        for n, z in to_z({n: x0[i] for i, n in enumerate(x0_names)}).items()
+    }
+    zf, info = device_lbfgs(
+        fun, z0, maxiter=maxiter, gtol=gtol, ftol=ftol
+    )
+    if verbose:
+        print(f"device lbfgs ({engine}): {info}")
+    params = {n: float(v) for n, v in to_theta(zf).items()}
+    return _new_muygps(muygps, x0_names, bounds, params)

