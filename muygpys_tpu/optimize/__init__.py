@@ -23,6 +23,7 @@ from muygpys_tpu.optimize.device_chassis import (
     Device_LBFGS_optimize,
     Fused_Device_LBFGS_optimize,
     device_lbfgs,
+    make_device_trainer,
 )
 from muygpys_tpu.optimize.fast_objective import make_fast_loo_objective
 from muygpys_tpu.optimize.fused_chassis import Fused_L_BFGS_B_optimize
@@ -41,6 +42,7 @@ __all__ = [
     "Fused_L_BFGS_B_optimize",
     "full_filtered_batch",
     "get_balanced_batch",
+    "make_device_trainer",
     "lool_fn",
     "lool_fn_unscaled",
     "looph_fn",

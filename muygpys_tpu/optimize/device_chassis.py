@@ -57,7 +57,7 @@ from muygpys_tpu.optimize.objective import make_loo_crossval_fn
 _BIG = 1e12  # finite penalty for NaN/inf proposals: line search backtracks
 
 
-def device_lbfgs(
+def lbfgs_while_loop(
     fun: Callable,
     z0,
     maxiter: int = 200,
@@ -65,14 +65,13 @@ def device_lbfgs(
     ftol: float = 2.22e-9,
     memory_size: int = 15,
 ):
-    """Minimize ``fun(pytree) -> scalar`` in one jitted ``while_loop``.
+    """The traced L-BFGS trajectory: ``(z_final, iters, value, gmax)``.
 
-    Stopping mirrors scipy L-BFGS-B: sup-norm of the gradient below
-    ``gtol``, or relative objective decrease below ``ftol`` (scipy default
+    Pure traced values — compose this inside a larger ``jit`` (e.g. a
+    tensor-parameterized trainer, :func:`make_device_trainer`).  Stopping
+    mirrors scipy L-BFGS-B: sup-norm of the gradient below ``gtol``, or
+    relative objective decrease below ``ftol`` (scipy default
     ``2.22e-9 = factr * eps``), or ``maxiter`` iterations.
-
-    Returns ``(z_final, info)`` where ``info`` is a dict of scalars
-    (``iterations``, ``value``, ``grad_norm``) already on the host.
     """
     import optax
     import optax.tree_utils as otu
@@ -110,22 +109,37 @@ def device_lbfgs(
             (it < maxiter) & (gmax >= gtol) & (frel >= ftol)
         )
 
-    @jax.jit
-    def run(z0):
-        state0 = opt.init(z0)
-        # carry dtype must match the objective's value dtype exactly
-        big = jnp.full((), _BIG, dtype=jax.eval_shape(fun, z0).dtype)
-        zf, state, _ = jax.lax.while_loop(cont, step, (z0, state0, big))
-        return (
-            zf,
-            otu.tree_get(state, "count"),
-            otu.tree_get(state, "value"),
-            otu.tree_max(
-                jax.tree.map(jnp.abs, otu.tree_get(state, "grad"))
-            ),
-        )
+    state0 = opt.init(z0)
+    # carry dtype must match the objective's value dtype exactly
+    big = jnp.full((), _BIG, dtype=jax.eval_shape(fun, z0).dtype)
+    zf, state, _ = jax.lax.while_loop(cont, step, (z0, state0, big))
+    return (
+        zf,
+        otu.tree_get(state, "count"),
+        otu.tree_get(state, "value"),
+        otu.tree_max(jax.tree.map(jnp.abs, otu.tree_get(state, "grad"))),
+    )
 
-    zf, it, value, gmax = run(z0)
+
+def device_lbfgs(
+    fun: Callable,
+    z0,
+    maxiter: int = 200,
+    gtol: float = 1e-7,
+    ftol: float = 2.22e-9,
+    memory_size: int = 15,
+):
+    """Minimize ``fun(pytree) -> scalar`` in one jitted ``while_loop``.
+
+    Returns ``(z_final, info)`` where ``info`` is a dict of scalars
+    (``iterations``, ``value``, ``grad_norm``) already on the host.
+    """
+    zf, it, value, gmax = jax.jit(
+        lambda z: lbfgs_while_loop(
+            fun, z, maxiter=maxiter, gtol=gtol, ftol=ftol,
+            memory_size=memory_size,
+        )
+    )(z0)
     info = {
         "iterations": int(it),
         "value": float(value),
@@ -175,6 +189,91 @@ def _device_lbfgs_optimize(
 
 Device_LBFGS_optimize = OptimizeFn(_device_lbfgs_optimize, make_loo_crossval_fn)
 """Fully on-device L-BFGS chassis over the generic LOO objective."""
+
+
+def make_device_trainer(
+    muygps: MuyGPS,
+    loss: str = "lool",
+    maxiter: int = 200,
+    gtol: float = 1e-7,
+    ftol: float = 2.22e-9,
+    memory_size: int = 15,
+    verbose: bool = False,
+) -> Callable:
+    """Tensor-parameterized on-device trainer: compile ONCE, train every
+    same-shaped batch at device speed.
+
+    Returns ``trainer(batch_targets, batch_nn_targets, crosswise_dists,
+    pairwise_dists, z_init=None) -> (MuyGPS, info)``.  The batch tensors are
+    traced ARGUMENTS of one cached jitted program (the chassis functions
+    instead close over them, so every new batch re-traces), which is the
+    natural shape for epoch training: resample the batch, call the trainer,
+    pay zero recompilation.  This subsumes the reference's mini-batch
+    experimental chassis inner loop
+    (reference optimize/experimental/chassis.py:46-319) with a full L-BFGS
+    trajectory per epoch rather than one optimizer step.
+
+    ``info["z"]`` is the final unconstrained iterate — pass it as ``z_init``
+    on the next epoch to warm-start.  Uses the batched-Cholesky XLA
+    objective (``layout="batched"``); model classes = Matern/RBF x
+    Isotropy/Anisotropy x homo/heteroscedastic noise, loss in {lool, mse}.
+    """
+    from muygpys_tpu.optimize.fast_objective import make_fast_loo_objective
+
+    x0_names, x0, bounds = _get_opt_lists(muygps, verbose=verbose)
+    to_theta, to_z = bijectors.make_param_bijector(x0_names, bounds)
+    # strongly-typed z: a weakly-typed default vs the strongly-typed
+    # while_loop output must not count as two jit signatures
+    zdt = jnp.result_type(float)
+    z0_default = {
+        n: jnp.asarray(z, dtype=zdt)
+        for n, z in to_z({n: x0[i] for i, n in enumerate(x0_names)}).items()
+    }
+
+    @jax.jit
+    def run(z0, bt, bnt, cw, pw):
+        obj_fn, _ = make_fast_loo_objective(
+            muygps, bt, bnt, cw, pw, loss=loss, layout="batched"
+        )
+
+        def fun(z):
+            return _finite_or_big(-obj_fn(to_theta(z)))
+
+        return lbfgs_while_loop(
+            fun, z0, maxiter=maxiter, gtol=gtol, ftol=ftol,
+            memory_size=memory_size,
+        )
+
+    def trainer(
+        batch_targets,
+        batch_nn_targets,
+        crosswise_dists,
+        pairwise_dists,
+        z_init=None,
+    ):
+        if z_init is None:
+            z0 = z0_default
+        else:
+            z0 = jax.tree.map(
+                lambda a: jnp.asarray(a, dtype=zdt), z_init
+            )
+        zf, it, value, gmax = run(
+            z0, batch_targets, batch_nn_targets,
+            crosswise_dists, pairwise_dists,
+        )
+        info = {
+            "iterations": int(it),
+            "value": float(value),
+            "grad_norm": float(gmax),
+            "z": zf,
+        }
+        if verbose:
+            print(f"device trainer: {info}")
+        params = {n: float(v) for n, v in to_theta(zf).items()}
+        return _new_muygps(muygps, x0_names, bounds, params), info
+
+    trainer._jitted = run  # exposed for cache-hit introspection/tests
+    return trainer
 
 
 def Fused_Device_LBFGS_optimize(

@@ -129,3 +129,35 @@ def test_pallas_engine_device_lbfgs(rng):
     ls_xla = float(opt_xla.kernel.deformation.length_scale())
     ls_pl = float(opt_pl.kernel.deformation.length_scale())
     assert np.isclose(ls_pl, ls_xla, rtol=1e-3), (ls_pl, ls_xla)
+
+
+def test_device_trainer_reuse_across_batches(problem, rng):
+    """make_device_trainer: the batch tensors are traced ARGUMENTS, so a
+    resampled batch reuses the compiled program (epoch-training shape);
+    per-batch optima match the per-batch chassis."""
+    from muygpys_tpu.optimize import make_device_trainer
+
+    model, (cw, pw, bt, bnt), ls_oracle = problem
+    trainer = make_device_trainer(model, loss="lool")
+
+    trained1, info1 = trainer(bt, bnt, cw, pw)
+    ls1 = float(trained1.kernel.deformation.length_scale())
+    assert np.isclose(ls1, ls_oracle, rtol=1e-4), (ls1, ls_oracle)
+    assert info1["iterations"] >= 1
+
+    # a second, different batch: same shapes -> NO recompile
+    sampler = UnivariateSampler(
+        data_count=500, train_ratio=0.5, nu=NU, length_scale=TRUE_LS,
+        measurement_noise=1e-3, rng=rng,
+    )
+    xtr, _ = sampler.features()
+    ytr, _ = sampler.sample()
+    nbrs = NN_Wrapper(xtr, 25, nn_method="exact")
+    bi, bni = sample_batch(nbrs, 128, xtr.shape[0], rng=rng)
+    cw2, pw2, bt2, bnt2 = model.make_train_tensors(
+        bi, bni, jnp.asarray(xtr), jnp.asarray(ytr)
+    )
+    trained2, info2 = trainer(bt2, bnt2, cw2, pw2, z_init=info1["z"])
+    assert trainer._jitted._cache_size() == 1, "second batch re-traced"
+    ls2 = float(trained2.kernel.deformation.length_scale())
+    assert np.isclose(ls2, TRUE_LS, rtol=1.0)
