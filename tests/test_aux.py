@@ -71,6 +71,43 @@ class TestMiniBatch:
         assert probed >= 2 and steps == 2 * 11
         assert t > 0
 
+    def test_device_engine_recovery(self, rng):
+        """engine='device-lbfgs': one on-device L-BFGS trajectory per epoch,
+        warm-started; recovers length scale at the chassis tolerance."""
+        sampler = UnivariateSampler(
+            data_count=500, train_ratio=0.5, nu=1.5, length_scale=0.05,
+            measurement_noise=1e-3, rng=rng,
+        )
+        xtr, _ = sampler.features()
+        ytr, _ = sampler.sample()
+        model = MuyGPS(
+            kernel=Matern(
+                smoothness=Parameter(1.5),
+                deformation=Isotropy(
+                    l2, length_scale=Parameter(0.3, (0.01, 1.0))
+                ),
+            ),
+            noise=HomoscedasticNoise(1e-3),
+            scale=AnalyticScale(),
+        )
+        opt, nbrs, t, probed, steps = optimize_from_tensors_mini_batch(
+            model, xtr, ytr,
+            nn_count=20, batch_count=150, train_count=xtr.shape[0],
+            num_epochs=3, keep_state=True, engine="device-lbfgs", rng=rng,
+        )
+        ls = float(opt.kernel.deformation.length_scale())
+        assert ((0.05 - ls) / 0.05) ** 2 < 9e-1, f"ls={ls}"
+        assert opt.scale.trained
+        assert steps >= 3 and probed == 0
+        import pytest as _pt
+        from muygpys_tpu.optimize import looph_fn
+        with _pt.raises(ValueError, match="lool/mse"):
+            optimize_from_tensors_mini_batch(
+                model, xtr, ytr, nn_count=20, batch_count=150,
+                train_count=xtr.shape[0], engine="device-lbfgs",
+                loss_fn=looph_fn, rng=rng,
+            )
+
     def test_anisotropic_rebuild(self, rng):
         from muygpys_tpu._test.sampler import UnivariateSampler2D
 
