@@ -55,6 +55,9 @@ def _pallas_available() -> bool:
         "h.compile_loops("
         "functools.partial(h.end_to_end_loop, use_pallas=True),"
         "h.make_serve_inputs());"
+        "h.compile_loops("
+        "functools.partial(h.end_to_end_loop, use_pallas=True, rerank=False),"
+        "h.make_serve_inputs());"
         "print('PALLAS_OK')"
     )
     env = dict(os.environ)
@@ -115,6 +118,16 @@ def main():
     )
     e2e_per_sec = h.BATCH / e2e
 
+    # FastServer(rerank=False): serve on the kernel's approximate
+    # neighborhoods — no top_k, no row shuffle (PERF.md r3)
+    e2e_approx = h.measure(
+        functools.partial(
+            h.end_to_end_loop, use_pallas=use_pallas, rerank=False
+        ),
+        h.make_serve_inputs(),
+    )
+    e2e_approx_per_sec = h.BATCH / e2e_approx
+
     print(
         json.dumps(
             {
@@ -123,6 +136,9 @@ def main():
                 "unit": "predictions/sec",
                 "vs_baseline": round(preds_per_sec / 125000.0, 3),
                 "end_to_end_preds_per_sec": round(e2e_per_sec, 1),
+                "end_to_end_preds_per_sec_approx": round(
+                    e2e_approx_per_sec, 1
+                ),
                 "end_to_end_train_count": h.TRAIN_COUNT,
                 "engine": "pallas-coords" if use_pallas else "xla-lanes",
             }

@@ -208,13 +208,18 @@ def knn_loop(iters, engine: str = "xla"):
     return _loop(predict, iters, perturb_arg=2)
 
 
-def end_to_end_loop(iters, use_pallas: bool = True, knn_engine=None):
+def end_to_end_loop(
+    iters, use_pallas: bool = True, knn_engine=None, rerank: bool = True
+):
     """The number a user gets: KNN query -> gather -> assembly -> fused
     solve, entirely on device, per iteration (VERDICT r1 weak #4: the fused
     solve alone must not be quoted as serving throughput).
 
     ``knn_engine`` defaults to the fused Pallas candidate kernel whenever
-    the Pallas solve path is on (measured 2x end-to-end, PERF.md r2)."""
+    the Pallas solve path is on (measured 2x end-to-end, PERF.md r2).
+    ``rerank=False`` is FastServer's approximate-neighborhood mode (serve
+    directly on the kernel's NN candidates, no top_k / row shuffle —
+    +27% measured, PERF.md r3)."""
     import jax.numpy as jnp
 
     from muygpys_tpu.neighbors import _brute_force_knn_scan, _refine_knn
@@ -264,12 +269,13 @@ def end_to_end_loop(iters, use_pallas: bool = True, knn_engine=None):
 
         def predict(train, targets, queries):
             table = jnp.concatenate([train, targets], axis=1)
-            cand, _ = knn_pallas(train, queries, NN + 8)
+            cand, _ = knn_pallas(train, queries, NN + 8 if rerank else NN)
             rows = table[cand]  # (B, C, d+r)
-            xc = rows[:, :, :D_FEAT]
-            d2 = jnp.sum((xc - queries[:, None, :]) ** 2, -1)
-            _, sel = jax.lax.top_k(-d2, NN)
-            rows = jnp.take_along_axis(rows, sel[:, :, None], axis=1)
+            if rerank:
+                xc = rows[:, :, :D_FEAT]
+                d2 = jnp.sum((xc - queries[:, None, :]) ** 2, -1)
+                _, sel = jax.lax.top_k(-d2, NN)
+                rows = jnp.take_along_axis(rows, sel[:, :, None], axis=1)
             nf = jnp.transpose(rows[:, :, :D_FEAT], (1, 2, 0))
             y = jnp.transpose(rows[:, :, D_FEAT:], (1, 2, 0))
             mean, var = solve(nf, queries.T, y)

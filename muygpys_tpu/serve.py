@@ -70,11 +70,20 @@ class FastServer:
         train_features / train_targets: the training set (univariate or
             multivariate targets).
         bucket: compiled request size; queries are padded up to it.
-        engine: ``"lanes"`` | ``"pallas"`` | ``"reference"``.
+        engine: ``"lanes"`` | ``"pallas"`` | ``"fused"`` | ``"reference"``.
         measurement_noise: per-training-point noise variances
             ``(train_count,)`` — required when the model's noise is
             heteroscedastic (the model's stored tensor is gathered over a
             *training batch* and cannot address new query neighborhoods).
+        rerank: ``"fused"`` engine only.  ``True`` (default) over-fetches
+            candidates and exactly re-ranks them, so neighbor sets match
+            the exact engines at ~0.9996.  ``False`` serves directly on the
+            kernel's ``nn_count`` *approximate* nearest neighbors — no
+            ``top_k``, no ``take_along_axis`` row shuffle — measured +27%
+            end-to-end throughput (PERF.md r3).  The conditioning set then
+            deviates from the exact one in ~0.1% of slots (replaced by the
+            next-nearest neighbors), an unbiased perturbation of the same
+            MuyGPs estimator rather than an approximation of its solve.
     """
 
     def __init__(
@@ -86,6 +95,7 @@ class FastServer:
         bucket: int = 4096,
         engine: str = "lanes",
         measurement_noise=None,
+        rerank: bool = True,
     ):
         if not isinstance(muygps.kernel, (Matern, RBF)):
             raise ValueError(
@@ -103,6 +113,7 @@ class FastServer:
         self.nbrs = nbrs_lookup
         self.bucket = bucket
         self.engine = engine
+        self.rerank = rerank
         self._train = jnp.asarray(np.atleast_2d(np.asarray(train_features)))
         if self._train.shape[0] == 1 and np.asarray(train_features).ndim == 1:
             self._train = self._train.T
@@ -260,8 +271,13 @@ class FastServer:
                 [jnp.asarray(c, train.dtype) for c in cols], axis=1
             )
             # +8 over-fetch: measured agreement 0.9996 after exact re-rank
-            # at the 512-bin kernel default (PERF.md r2 tuning table)
-            cand_count = min(nn_count + 8, train.shape[0])
+            # at the 512-bin kernel default (PERF.md r2 tuning table).
+            # Without re-rank the kernel's nn_count candidates ARE the
+            # neighborhood (no over-fetch: selection happens in the merge)
+            rerank = self.rerank
+            cand_count = (
+                min(nn_count + 8, train.shape[0]) if rerank else nn_count
+            )
 
             # below 2*bins=1024 train rows the packed-key kernel cannot fill
             # every candidate slot with a distinct real column (duplicate
@@ -278,10 +294,13 @@ class FastServer:
 
                     cand, _ = _brute_force_knn(train, queries, cand_count)
                 rows = table[cand]  # (B, C, d+r(+1))
-                xc = rows[:, :, :d_feat]
-                d2 = jnp.sum((xc - queries[:, None, :]) ** 2, -1)
-                _, sel = jax.lax.top_k(-d2, nn_count)  # exact re-rank
-                rows = jnp.take_along_axis(rows, sel[:, :, None], axis=1)
+                if rerank:
+                    xc = rows[:, :, :d_feat]
+                    d2 = jnp.sum((xc - queries[:, None, :]) ** 2, -1)
+                    _, sel = jax.lax.top_k(-d2, nn_count)  # exact re-rank
+                    rows = jnp.take_along_axis(
+                        rows, sel[:, :, None], axis=1
+                    )
                 nf = jnp.transpose(rows[:, :, :d_feat], (1, 2, 0))
                 y = jnp.transpose(
                     rows[:, :, d_feat:d_feat + r], (1, 2, 0)

@@ -127,6 +127,38 @@ def test_fused_engine_interprets(problem, monkeypatch):
     np.testing.assert_allclose(var, var_ref, rtol=1e-8, atol=1e-10)
 
 
+def test_fused_engine_norerank(problem, monkeypatch):
+    """rerank=False serves directly on the candidate set.  In the
+    small-train regime the candidates come from exact brute force, so the
+    posterior must still match the reference chain exactly; this pins the
+    no-rerank plumbing (the kernel-path deviation is a measured statistical
+    property, PERF.md r3)."""
+    from muygpys_tpu.pallas import fused_predict as fp
+
+    orig_fp = fp.fused_predict_coords_bl
+
+    def interp_fp(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig_fp(*args, **kwargs)
+
+    monkeypatch.setattr(
+        "muygpys_tpu.pallas.fused_predict.fused_predict_coords_bl",
+        interp_fp,
+    )
+    xtr, ytr, xte = problem
+    model = _model(1.5)
+    nbrs = NN_Wrapper(xtr, 12, nn_method="exact")
+    server = FastServer(
+        model, nbrs, xtr, ytr, bucket=64, engine="fused", rerank=False
+    )
+    mean, var = server.predict(xte[:40])
+    mean_ref, var_ref = _reference_predict(
+        model, xtr, ytr, xte[:40], nbrs
+    )
+    np.testing.assert_allclose(mean, mean_ref, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(var, var_ref, rtol=1e-8, atol=1e-10)
+
+
 def test_multivariate_lanes(problem, rng):
     xtr, _, xte = problem
     ytr = rng.standard_normal((300, 3))
