@@ -84,6 +84,14 @@ class FastServer:
             deviates from the exact one in ~0.1% of slots (replaced by the
             next-nearest neighbors), an unbiased perturbation of the same
             MuyGPs estimator rather than an approximation of its solve.
+        mesh: optional ``jax.sharding.Mesh`` — multi-chip serving.  The
+            query batch is sharded over every mesh axis and the training
+            table replicated (the reference's only distributed strategy is
+            the same batch-data parallelism, SURVEY §2.12); each device
+            runs the full local chain (KNN -> gather -> solve) on its query
+            shard with NO cross-device communication, so throughput scales
+            linearly in expectation.  ``bucket`` must divide by the mesh
+            size.  The ``"reference"`` debug engine does not take a mesh.
     """
 
     def __init__(
@@ -96,6 +104,7 @@ class FastServer:
         engine: str = "lanes",
         measurement_noise=None,
         rerank: bool = True,
+        mesh=None,
     ):
         if not isinstance(muygps.kernel, (Matern, RBF)):
             raise ValueError(
@@ -114,6 +123,20 @@ class FastServer:
         self.bucket = bucket
         self.engine = engine
         self.rerank = rerank
+        self.mesh = mesh
+        if mesh is not None:
+            if engine == "reference":
+                raise ValueError(
+                    "the reference debug engine does not take a mesh"
+                )
+            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            if bucket % n_dev:
+                raise ValueError(
+                    f"bucket {bucket} must divide by the mesh size {n_dev}"
+                )
+            self._local_bucket = bucket // n_dev
+        else:
+            self._local_bucket = bucket
         self._train = jnp.asarray(np.atleast_2d(np.asarray(train_features)))
         if self._train.shape[0] == 1 and np.asarray(train_features).ndim == 1:
             self._train = self._train.T
@@ -208,7 +231,7 @@ class FastServer:
         # distance of per-feature-scaled coordinates
         inv_ls = jnp.asarray(1.0 / self._ls_vec, train.dtype)
 
-        def assemble_bl(queries, nn_idx):
+        def assemble_bl(queries, nn_idx, train, targets):
             # batch-last scaled-distance assembly straight from gathers
             nf = train[nn_idx] * inv_ls  # (B, n, f)
             q = queries * inv_ls  # (B, f)
@@ -251,7 +274,9 @@ class FastServer:
             )
             from muygpys_tpu.pallas.knn import knn_pallas
 
-            tile = int(math.gcd(self.bucket, 512))
+            # under a mesh each device runs the chain on its local query
+            # shard, so the Pallas batch tile divides the LOCAL bucket
+            tile = int(math.gcd(self._local_bucket, 512))
             nu = "rbf" if self._is_rbf else self._nu
             params = jnp.concatenate(
                 [
@@ -285,8 +310,7 @@ class FastServer:
             # exact brute force is faster at that scale
             use_kernel = train.shape[0] >= 1024
 
-            @jax.jit
-            def predict(queries):
+            def core(queries, table, train):
                 if use_kernel:
                     cand, _ = knn_pallas(train, queries, cand_count)
                 else:
@@ -317,12 +341,15 @@ class FastServer:
                 )
                 return mean.T, scale * var  # (B, r), (B,)
 
+            consts = (table, train)
+            n_sharded = 1
+
         elif self.engine == "pallas":
             from muygpys_tpu.pallas.fused_predict import (
                 fused_predict_coords_bl,
             )
 
-            tile = int(math.gcd(self.bucket, 512))
+            tile = int(math.gcd(self._local_bucket, 512))
             nu = "rbf" if self._is_rbf else self._nu
             params = jnp.concatenate(
                 [
@@ -332,14 +359,11 @@ class FastServer:
             )
             metric_power = self._metric_power
 
-            @jax.jit
-            def predict(queries, nn_idx):
+            def core(queries, nn_idx, train, targets, *opt):
                 nf = jnp.transpose(train[nn_idx], (1, 2, 0))  # (n, d, B)
                 q = queries.T  # (d, B)
                 y = jnp.transpose(targets[nn_idx], (1, 2, 0))  # (n, r, B)
-                noise_nn = (
-                    None if meas is None else meas[nn_idx].T  # (n, B)
-                )
+                noise_nn = None if meas is None else opt[0][nn_idx].T
                 mean, var = fused_predict_coords_bl(
                     nf, q, y, params,
                     noise_nn=noise_nn,
@@ -349,16 +373,18 @@ class FastServer:
                 )
                 return mean.T, scale * var  # (B, r), (B,)
 
+            consts = (train, targets) + (() if meas is None else (meas,))
+            n_sharded = 2
+
         elif self.engine == "lanes":
 
-            @jax.jit
-            def predict(queries, nn_idx):
-                pw, cw, y = assemble_bl(queries, nn_idx)
+            def core(queries, nn_idx, train, targets, *opt):
+                pw, cw, y = assemble_bl(queries, nn_idx, train, targets)
                 eye = jnp.eye(nn_count, dtype=pw.dtype)[:, :, None]
                 if meas is None:
                     Kin = self._kernel_eval(pw) + noise * eye
                 else:
-                    Kin = self._kernel_eval(pw) + eye * meas[nn_idx].T[
+                    Kin = self._kernel_eval(pw) + eye * opt[0][nn_idx].T[
                         :, None, :
                     ]
                 Kcross = self._kernel_eval(cw)
@@ -367,7 +393,10 @@ class FastServer:
                 )
                 return mean.T, scale * var  # (B, r), (B,)
 
-        else:  # reference engine
+            consts = (train, targets) + (() if meas is None else (meas,))
+            n_sharded = 2
+
+        else:  # reference engine (single-device debug path)
 
             @jax.jit
             def predict(queries, nn_idx):
@@ -382,6 +411,43 @@ class FastServer:
                 return self.muygps.posterior_mean_and_variance(
                     Kin, Kcross, nn_targets
                 )
+
+            return predict
+
+        if self.mesh is None:
+
+            @jax.jit
+            def predict(*args):
+                return core(*args, *consts)
+
+            return predict
+
+        # multi-chip: queries (and neighbor indices) sharded over every
+        # mesh axis, training table replicated — each device serves its
+        # query shard with zero collectives (the reference's batch-data
+        # parallelism, SURVEY §2.12, applied to serving)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from muygpys_tpu.parallel.sharding import batch_spec, replicate
+
+        mesh = self.mesh
+        in_specs = tuple(
+            batch_spec(mesh, 2) for _ in range(n_sharded)
+        ) + tuple(P() for _ in consts)
+        out_specs = (batch_spec(mesh, 2), batch_spec(mesh, 1))
+        consts = tuple(replicate(c, mesh) for c in consts)
+        # check_vma off: pallas_call inside shard_map would need explicit
+        # per-output vma annotations; the chain is embarrassingly parallel
+        # (no collectives), so there is nothing for the checker to verify
+        sharded_core = shard_map(
+            core, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+
+        @jax.jit
+        def predict(*args):
+            return sharded_core(*args, *consts)
 
         return predict
 

@@ -43,6 +43,15 @@ def main():
         f"{time.perf_counter() - t0:.1f}s", flush=True,
     )
     t0 = time.perf_counter()
+    h.compile_loops(
+        functools.partial(h.end_to_end_loop, use_pallas=True, rerank=False),
+        h.make_serve_inputs(),
+    )
+    print(
+        f"end-to-end (rerank=False) loop programs compiled in "
+        f"{time.perf_counter() - t0:.1f}s", flush=True,
+    )
+    t0 = time.perf_counter()
     h.compile_loops(h.pallas_loop, h.make_inputs())
     print(f"pallas loop programs compiled in {time.perf_counter() - t0:.1f}s")
 

@@ -159,6 +159,57 @@ def test_fused_engine_norerank(problem, monkeypatch):
     np.testing.assert_allclose(var, var_ref, rtol=1e-8, atol=1e-10)
 
 
+def test_mesh_sharded_serving(problem, monkeypatch):
+    """FastServer(mesh=...): queries sharded over the 8-device virtual
+    mesh, table replicated — posterior equals the single-device serve
+    exactly (zero-collective batch-data parallelism, SURVEY 2.12)."""
+    from muygpys_tpu.parallel import make_mesh
+
+    xtr, ytr, xte = problem
+    model = _model(1.5)
+    nbrs = NN_Wrapper(xtr, 12, nn_method="exact")
+    mesh = make_mesh(8)
+
+    serial = FastServer(model, nbrs, xtr, ytr, bucket=64, engine="lanes")
+    sharded = FastServer(
+        model, nbrs, xtr, ytr, bucket=64, engine="lanes", mesh=mesh
+    )
+    m0, v0 = serial.predict(xte[:100])
+    m1, v1 = sharded.predict(xte[:100])
+    np.testing.assert_allclose(m1, m0, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(v1, v0, rtol=1e-10, atol=1e-12)
+
+    # fused engine under the mesh (interpret-mode kernels on CPU)
+    from muygpys_tpu.pallas import fused_predict as fp
+
+    orig_fp = fp.fused_predict_coords_bl
+
+    def interp_fp(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig_fp(*args, **kwargs)
+
+    monkeypatch.setattr(
+        "muygpys_tpu.pallas.fused_predict.fused_predict_coords_bl",
+        interp_fp,
+    )
+    fused = FastServer(
+        model, nbrs, xtr, ytr, bucket=64, engine="fused", mesh=mesh
+    )
+    m2, v2 = fused.predict(xte[:40])
+    mean_ref, var_ref = _reference_predict(model, xtr, ytr, xte[:40], nbrs)
+    np.testing.assert_allclose(m2, mean_ref, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(v2, var_ref, rtol=1e-8, atol=1e-10)
+
+    with pytest.raises(ValueError, match="divide"):
+        FastServer(
+            model, nbrs, xtr, ytr, bucket=60, engine="lanes", mesh=mesh
+        )
+    with pytest.raises(ValueError, match="reference"):
+        FastServer(
+            model, nbrs, xtr, ytr, bucket=64, engine="reference", mesh=mesh
+        )
+
+
 def test_multivariate_lanes(problem, rng):
     xtr, _, xte = problem
     ytr = rng.standard_normal((300, 3))
