@@ -267,9 +267,14 @@ def end_to_end_loop(
 
         from muygpys_tpu.pallas.knn import knn_pallas
 
+        # FastServer's per-mode kernel geometry (PERF.md r3 tuning sweep)
+        knn_kwargs = {} if rerank else {"bins": 256, "query_tile": 256}
+
         def predict(train, targets, queries):
             table = jnp.concatenate([train, targets], axis=1)
-            cand, _ = knn_pallas(train, queries, NN + 8 if rerank else NN)
+            cand, _ = knn_pallas(
+                train, queries, NN + 8 if rerank else NN, **knn_kwargs
+            )
             rows = table[cand]  # (B, C, d+r)
             if rerank:
                 xc = rows[:, :, :D_FEAT]

@@ -310,9 +310,19 @@ class FastServer:
             # exact brute force is faster at that scale
             use_kernel = train.shape[0] >= 1024
 
+            # kernel geometry per mode (PERF.md r3 tuning sweep): the exact
+            # mode keeps 512 bins (candidate recall 0.9996 after re-rank);
+            # the approximate mode halves the bins and doubles the query
+            # tile — merge cost halves, 4.52 ms vs 5.91 ms per 8192 queries
+            knn_kwargs = (
+                {} if rerank else {"bins": 256, "query_tile": 256}
+            )
+
             def core(queries, table, train):
                 if use_kernel:
-                    cand, _ = knn_pallas(train, queries, cand_count)
+                    cand, _ = knn_pallas(
+                        train, queries, cand_count, **knn_kwargs
+                    )
                 else:
                     from muygpys_tpu.neighbors import _brute_force_knn
 

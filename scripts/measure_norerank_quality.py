@@ -73,7 +73,8 @@ def main():
     from muygpys_tpu.pallas.knn import knn_pallas
 
     cand, _ = knn_pallas(
-        jnp.asarray(train), jnp.asarray(queries), h.NN
+        jnp.asarray(train), jnp.asarray(queries), h.NN,
+        bins=256, query_tile=256,  # the rerank=False serving geometry
     )
     idx_exact = nbrs.get_nns(queries)[0]
     agree = np.mean(
