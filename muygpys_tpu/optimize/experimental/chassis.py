@@ -101,10 +101,10 @@ def optimize_from_tensors_mini_batch(
         from muygpys_tpu.optimize.device_chassis import make_device_trainer
 
         loss_name = loss_fn.name.removesuffix("_fn")
-        if loss_name not in ("lool", "mse"):
+        if loss_name not in ("lool", "mse", "looph"):
             raise ValueError(
-                f"engine='device-lbfgs' supports lool/mse, not {loss_name};"
-                " use engine='bayes'"
+                f"engine='device-lbfgs' supports lool/mse/looph, not "
+                f"{loss_name}; use engine='bayes'"
             )
         if batch_features is not None:
             raise ValueError(

@@ -63,6 +63,7 @@ def make_fast_loo_objective(
     pairwise_dists,
     loss: str = "lool",
     layout: str = "lanes",
+    boundary_scale: float = 3.0,
 ) -> Tuple[Callable, list]:
     """Build ``obj_fn(params_dict) -> -loss`` in lane layout.
 
@@ -111,8 +112,10 @@ def make_fast_loo_objective(
             "fast objective requires homo- or heteroscedastic noise, not "
             f"{type(muygps.noise)}"
         )
-    if loss not in ("lool", "mse"):
-        raise ValueError(f"fast objective supports lool/mse, not {loss!r}")
+    if loss not in ("lool", "mse", "looph"):
+        raise ValueError(
+            f"fast objective supports lool/mse/looph, not {loss!r}"
+        )
 
     metric_name = kernel.deformation.metric.name
     is_rbf = isinstance(kernel, RBF)
@@ -267,10 +270,16 @@ def make_fast_loo_objective(
         sv = jnp.maximum(
             scale * var, 10.0 * jnp.finfo(var.dtype).eps
         )  # (B,)
-        if batched:
+        sv_b = sv[:, None] if batched else sv[None, :]
+        sq = (mean - t_bl) ** 2
+        if loss == "looph":
+            # leave-one-out pseudo-Huber (Eq. 8 of arXiv:2409.11577),
+            # identical to ops.loss.looph_fn on the same statistics
+            bs2 = boundary_scale**2
             return -jnp.sum(
-                (mean - t_bl) ** 2 / sv[:, None] + jnp.log(sv)[:, None]
+                2.0 * bs2 * (jnp.sqrt(1.0 + sq / (bs2 * sv_b)) - 1.0)
+                + jnp.log(sv_b)
             )
-        return -jnp.sum((mean - t_bl) ** 2 / sv[None, :] + jnp.log(sv))
+        return -jnp.sum(sq / sv_b + jnp.log(sv_b))
 
     return obj_fn, names

@@ -100,12 +100,12 @@ class TestMiniBatch:
         assert opt.scale.trained
         assert steps >= 3 and probed == 0
         import pytest as _pt
-        from muygpys_tpu.optimize import looph_fn
+        from muygpys_tpu.optimize import pseudo_huber_fn
         with _pt.raises(ValueError, match="lool/mse"):
             optimize_from_tensors_mini_batch(
                 model, xtr, ytr, nn_count=20, batch_count=150,
                 train_count=xtr.shape[0], engine="device-lbfgs",
-                loss_fn=looph_fn, rng=rng,
+                loss_fn=pseudo_huber_fn, rng=rng,
             )
 
     def test_anisotropic_rebuild(self, rng):

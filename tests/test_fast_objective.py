@@ -301,3 +301,32 @@ def test_batched_layout_matches_lanes(problem2d, rng):
             iso, np.zeros(4), np.zeros((4, 3)), jnp.zeros((4, 3)),
             jnp.zeros((4, 3, 3)), layout="nope",
         )
+
+
+def test_looph_matches_generic(problem):
+    """looph (leave-one-out pseudo-Huber, Eq. 8 arXiv:2409.11577) in the
+    fast objective, both layouts, equals the generic objective."""
+    from muygpys_tpu.optimize import looph_fn
+
+    xtr, ytr, bi, bni = problem
+    model = _model(1.5)
+    cw, pw, bt, bnt = model.make_train_tensors(
+        bi, bni, jnp.asarray(xtr), jnp.asarray(ytr)
+    )
+    generic = L_BFGS_B_optimize.make_obj_fn(
+        model, bt, bnt, cw, pw, loss_fn=looph_fn
+    )
+    params = {"length_scale": 0.21, "noise": 3e-3}
+    v_gen = float(generic(**params))
+    g_gen = jax.grad(lambda p: generic(**p))(params)
+    for layout in ("lanes", "batched"):
+        fast, _ = make_fast_loo_objective(
+            model, bt, bnt, cw, pw, loss="looph", layout=layout
+        )
+        np.testing.assert_allclose(float(fast(params)), v_gen, rtol=1e-9)
+        g_fast = jax.grad(fast)(params)
+        for k in params:
+            np.testing.assert_allclose(
+                float(g_fast[k]), float(g_gen[k]), rtol=1e-7,
+                err_msg=f"{layout}/{k}",
+            )
