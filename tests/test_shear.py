@@ -292,6 +292,54 @@ class TestShearOptimization:
         assert abs(ls - ls_true) < abs(0.15 - ls_true), f"ls={ls}"
         assert ((ls_true - ls) / ls_true) ** 2 < 2.5e-1, f"ls={ls}"
 
+    @pytest.mark.slow
+    def test_device_chassis_shear_recovery(self, grid, rng):
+        """The on-device L-BFGS chassis trains the SHEAR model class too
+        (generic objective under one lax.while_loop program): optimum
+        matches the scipy chassis on the same draw."""
+        from muygpys_tpu.optimize import (
+            Device_LBFGS_optimize, L_BFGS_B_optimize, mse_fn,
+        )
+
+        ls_true, noise = 0.10, 1e-5
+        n = grid.shape[0]
+        Kdense = _dense_shear_cov(grid, grid, ls_true)
+        L = np.linalg.cholesky(Kdense + 1e-8 * np.eye(3 * n))
+        flat = L @ rng.standard_normal(3 * n)
+        targets = flat.reshape(3, n).T
+
+        model = MuyGPS(
+            kernel=ShearKernel(
+                deformation=DifferenceIsotropy(
+                    F2, length_scale=Parameter(0.15, (0.02, 0.3))
+                )
+            ),
+            noise=ShearNoise33(noise),
+            scale=FixedScale(),
+        )
+        nn = 12
+        d = np.linalg.norm(grid[:, None] - grid[None], axis=-1)
+        bni = np.argsort(d, axis=1)[:, 1 : nn + 1]
+        bi = np.arange(n)
+        pairwise = model.kernel.deformation.pairwise_tensor(
+            jnp.asarray(grid), bni
+        )
+        crosswise = model.kernel.deformation.crosswise_tensor(
+            jnp.asarray(grid), jnp.asarray(grid), bi, bni
+        )
+        bt = jnp.asarray(targets)
+        bnt = jnp.asarray(targets[bni].swapaxes(-2, -1))
+
+        oracle = L_BFGS_B_optimize(
+            model, bt, bnt, crosswise, pairwise, loss_fn=mse_fn
+        )
+        opt = Device_LBFGS_optimize(
+            model, bt, bnt, crosswise, pairwise, loss_fn=mse_fn
+        )
+        ls_o = float(oracle.kernel.deformation.length_scale())
+        ls_d = float(opt.kernel.deformation.length_scale())
+        assert np.isclose(ls_d, ls_o, rtol=1e-3), (ls_d, ls_o)
+
 
 class TestLanesMultiout:
     """The batch-on-lanes multi-output serve path must agree with the
