@@ -92,6 +92,20 @@ class FastServer:
             shard with NO cross-device communication, so throughput scales
             linearly in expectation.  ``bucket`` must divide by the mesh
             size.  The ``"reference"`` debug engine does not take a mesh.
+        shard: what the mesh shards — ``"queries"`` (default, above) or
+            ``"train"``: the training table's ROWS are sharded and queries
+            replicated.  Each device runs the candidate kernel over its
+            shard for every query, the per-shard candidate rows are
+            all-gathered over ICI (``O(devices * queries * nn)`` bytes —
+            independent of train size), exactly re-ranked against the
+            union, and each device solves its slice of the queries.  This
+            is the million-scale regime: the single-chip chain is
+            candidate-kernel-bound at ~120k preds/sec at 1M train rows
+            (PERF.md r3), and the kernel work divides by the shard count.
+            ``"fused"`` engine only; the union merge makes ``rerank``
+            moot (always exact against the gathered candidates); the
+            reference cannot distribute its KNN at all (index on rank 0,
+            reference README.md:95-97).
     """
 
     def __init__(
@@ -105,6 +119,7 @@ class FastServer:
         measurement_noise=None,
         rerank: bool = True,
         mesh=None,
+        shard: str = "queries",
     ):
         if not isinstance(muygps.kernel, (Matern, RBF)):
             raise ValueError(
@@ -124,6 +139,9 @@ class FastServer:
         self.engine = engine
         self.rerank = rerank
         self.mesh = mesh
+        if shard not in ("queries", "train"):
+            raise ValueError(f"unknown shard mode {shard!r}")
+        self.shard = shard
         if mesh is not None:
             if engine == "reference":
                 raise ValueError(
@@ -134,7 +152,23 @@ class FastServer:
                 raise ValueError(
                     f"bucket {bucket} must divide by the mesh size {n_dev}"
                 )
-            self._local_bucket = bucket // n_dev
+            if shard == "train":
+                if engine != "fused":
+                    raise ValueError(
+                        "shard='train' requires the fused engine (the other"
+                        " engines take host-computed global neighbor"
+                        " indices)"
+                    )
+                if np.asarray(train_features).shape[0] % n_dev:
+                    raise ValueError(
+                        f"train_count {np.asarray(train_features).shape[0]}"
+                        f" must divide by the mesh size {n_dev} for"
+                        " shard='train'"
+                    )
+                # queries replicated: the kernel sees the FULL bucket
+                self._local_bucket = bucket
+            else:
+                self._local_bucket = bucket // n_dev
         else:
             self._local_bucket = bucket
         self._train = jnp.asarray(np.atleast_2d(np.asarray(train_features)))
@@ -354,6 +388,69 @@ class FastServer:
             consts = (table, train)
             n_sharded = 1
 
+            if self.mesh is not None and self.shard == "train":
+                axis_names = tuple(self.mesh.axis_names)
+                ax = axis_names[0] if len(axis_names) == 1 else axis_names
+                n_dev = int(
+                    np.prod([self.mesh.shape[a] for a in axis_names])
+                )
+                local_q = self.bucket // n_dev
+                solve_tile = int(math.gcd(local_q, 512))
+                shard_rows = train.shape[0] // n_dev
+                use_kernel_local = shard_rows >= 1024
+
+                def core(queries, table, train):
+                    # 1. candidates over the LOCAL train shard, all queries
+                    if use_kernel_local:
+                        cand, _ = knn_pallas(
+                            train, queries, cand_count, **knn_kwargs
+                        )
+                    else:
+                        from muygpys_tpu.neighbors import _brute_force_knn
+
+                        cand, _ = _brute_force_knn(
+                            train, queries, cand_count
+                        )
+                    rows = table[cand]  # (B, C, cols) from the local shard
+                    # 2. union of every shard's candidate ROWS:
+                    # O(devices * B * C) bytes over ICI, train-size-free
+                    gathered = jax.lax.all_gather(rows, ax)
+                    rows = jnp.moveaxis(gathered, 0, 1).reshape(
+                        queries.shape[0], n_dev * cand_count, -1
+                    )
+                    # 3. exact merge of the union (coords ride in the rows)
+                    xc = rows[:, :, :d_feat]
+                    d2 = jnp.sum((xc - queries[:, None, :]) ** 2, -1)
+                    _, sel = jax.lax.top_k(-d2, nn_count)
+                    rows = jnp.take_along_axis(
+                        rows, sel[:, :, None], axis=1
+                    )
+                    # 4. each device solves its own slice of the queries
+                    idx = jax.lax.axis_index(ax)
+                    q_lo = idx * local_q
+                    rows_l = jax.lax.dynamic_slice_in_dim(
+                        rows, q_lo, local_q, 0
+                    )
+                    q_l = jax.lax.dynamic_slice_in_dim(
+                        queries, q_lo, local_q, 0
+                    )
+                    nf = jnp.transpose(rows_l[:, :, :d_feat], (1, 2, 0))
+                    y = jnp.transpose(
+                        rows_l[:, :, d_feat:d_feat + r], (1, 2, 0)
+                    )
+                    noise_nn = (
+                        None if meas is None
+                        else rows_l[:, :, d_feat + r].T
+                    )
+                    mean, var = fused_predict_coords_bl(
+                        nf, q_l.T, y, params,
+                        noise_nn=noise_nn,
+                        smoothness=nu,
+                        metric_power=metric_power,
+                        batch_tile=solve_tile,
+                    )
+                    return mean.T, scale * var  # local (B/n_dev, r) slice
+
         elif self.engine == "pallas":
             from muygpys_tpu.pallas.fused_predict import (
                 fused_predict_coords_bl,
@@ -441,12 +538,21 @@ class FastServer:
 
         from muygpys_tpu.parallel.sharding import batch_spec, replicate
 
+        from muygpys_tpu.parallel.sharding import shard as _shard
+
         mesh = self.mesh
-        in_specs = tuple(
-            batch_spec(mesh, 2) for _ in range(n_sharded)
-        ) + tuple(P() for _ in consts)
+        if self.shard == "train":
+            # queries replicated, table rows sharded, outputs query-sharded
+            in_specs = (P(),) + tuple(
+                batch_spec(mesh, c.ndim) for c in consts
+            )
+            consts = tuple(_shard(c, mesh) for c in consts)
+        else:
+            in_specs = tuple(
+                batch_spec(mesh, 2) for _ in range(n_sharded)
+            ) + tuple(P() for _ in consts)
+            consts = tuple(replicate(c, mesh) for c in consts)
         out_specs = (batch_spec(mesh, 2), batch_spec(mesh, 1))
-        consts = tuple(replicate(c, mesh) for c in consts)
         # check_vma off: pallas_call inside shard_map would need explicit
         # per-output vma annotations; the chain is embarrassingly parallel
         # (no collectives), so there is nothing for the checker to verify

@@ -210,6 +210,59 @@ def test_mesh_sharded_serving(problem, monkeypatch):
         )
 
 
+def test_mesh_train_sharded_serving(problem, rng, monkeypatch):
+    """FastServer(mesh=..., shard="train"): training-table ROWS sharded,
+    queries replicated, per-shard candidates all-gathered and exactly
+    merged, each device solving its query slice.  At this scale every
+    local shard uses exact brute force, so the posterior must equal the
+    reference chain exactly.  (Million-scale regime: the single-chip chain
+    is candidate-kernel-bound, PERF.md r3.)"""
+    from muygpys_tpu.parallel import make_mesh
+    from muygpys_tpu.pallas import fused_predict as fp
+
+    orig_fp = fp.fused_predict_coords_bl
+
+    def interp_fp(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig_fp(*args, **kwargs)
+
+    monkeypatch.setattr(
+        "muygpys_tpu.pallas.fused_predict.fused_predict_coords_bl",
+        interp_fp,
+    )
+    xtr, ytr, xte = problem
+    # pad train to a mesh multiple (the constructor requires it)
+    n = (xtr.shape[0] // 8) * 8
+    xtr, ytr = xtr[:n], ytr[:n]
+    model = _model(1.5)
+    nbrs = NN_Wrapper(xtr, 12, nn_method="exact")
+    mesh = make_mesh(8)
+    server = FastServer(
+        model, nbrs, xtr, ytr, bucket=64, engine="fused",
+        mesh=mesh, shard="train",
+    )
+    mean, var = server.predict(xte[:50])
+    mean_ref, var_ref = _reference_predict(model, xtr, ytr, xte[:50], nbrs)
+    np.testing.assert_allclose(mean, mean_ref, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(var, var_ref, rtol=1e-8, atol=1e-10)
+
+    with pytest.raises(ValueError, match="fused"):
+        FastServer(
+            model, nbrs, xtr, ytr, bucket=64, engine="lanes",
+            mesh=mesh, shard="train",
+        )
+    with pytest.raises(ValueError, match="divide"):
+        FastServer(
+            model, nbrs, xtr[:-4], ytr[:-4], bucket=64, engine="fused",
+            mesh=mesh, shard="train",
+        )
+    with pytest.raises(ValueError, match="shard"):
+        FastServer(
+            model, nbrs, xtr, ytr, bucket=64, engine="fused",
+            mesh=mesh, shard="nope",
+        )
+
+
 def test_multivariate_lanes(problem, rng):
     xtr, _, xte = problem
     ytr = rng.standard_normal((300, 3))
