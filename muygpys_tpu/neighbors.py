@@ -190,6 +190,27 @@ class NN_Wrapper:
         self.nn_method = nn_method.lower()
         if self.nn_method in ("exact", "brute", "pallas"):
             self._train_dev = jnp.asarray(train)
+            # spatial pruning for the candidate kernel: Morton-sort a copy
+            # of the training rows so provably irrelevant (query, train)
+            # tile blocks are skipped — 3.9x at 1M rows, identical
+            # candidates (muygpys_tpu/pallas/knn.py, PERF.md r3).  Auto on
+            # for low-dimensional data; kernel indices map back through
+            # the permutation so callers always see original row numbers.
+            spatial = kwargs.get("spatial_sort")
+            if spatial is None:
+                spatial = self.feature_count <= 4
+            self._spatial = (
+                bool(spatial)
+                and self.nn_method == "pallas"
+                and self.train_count >= 2048
+            )
+            if self._spatial:
+                from muygpys_tpu.pallas.knn import spatial_sort
+
+                self._perm_dev = jnp.asarray(
+                    np.asarray(spatial_sort(train))
+                )
+                self._train_sorted = self._train_dev[self._perm_dev]
         elif self.nn_method == "sklearn":
             from sklearn.neighbors import NearestNeighbors
 
@@ -248,7 +269,10 @@ class NN_Wrapper:
             cand_count = min(nn_count + 32, self.train_count)
             queries = jnp.asarray(test)
             if self.nn_method == "pallas" and self.train_count >= 2048:
-                from muygpys_tpu.pallas.knn import knn_pallas
+                from muygpys_tpu.pallas.knn import (
+                    knn_pallas,
+                    knn_pallas_pruned,
+                )
 
                 # 1024 bins: the host KNN API favors recall over the merge
                 # cost (the serving path uses the faster 512-bin default).
@@ -256,9 +280,15 @@ class NN_Wrapper:
                 # candidate slots cannot all hold distinct real columns
                 # (duplicate indices possible, muygpys_tpu/pallas/knn.py)
                 # and single-tile exact brute force is faster anyway.
-                cand_idx, _ = knn_pallas(
-                    self._train_dev, queries, cand_count, bins=1024
-                )
+                if self._spatial:
+                    cand_s, _ = knn_pallas_pruned(
+                        self._train_sorted, queries, cand_count, bins=1024
+                    )
+                    cand_idx = self._perm_dev[cand_s]
+                else:
+                    cand_idx, _ = knn_pallas(
+                        self._train_dev, queries, cand_count, bins=1024
+                    )
             elif self.train_count > _TRAIN_TILE:
                 cand_idx, _ = _brute_force_knn_scan(
                     self._train_dev, queries, cand_count

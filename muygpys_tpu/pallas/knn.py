@@ -64,16 +64,12 @@ from jax.experimental.pallas import tpu as pltpu
 _INIT_KEY_BITS = 0x7F000000
 
 
-def _knn_body(bins, chunk_mask, q_ref, tT_ref, tsq_ref, s1_ref, s2_ref):
-    j = pl.program_id(1)
-    tq = q_ref.shape[0]
+def _knn_tile_update(bins, chunk_mask, j, q_ref, tT_ref, tsq_ref, s1_ref, s2_ref):
+    """One (query_tile, train_tile) distance block folded into the running
+    per-residue-bin two-minima state.  ``j`` is the train-tile grid index,
+    passed in because ``pl.program_id`` cannot be read inside a ``pl.when``
+    branch (the interpret-mode cond traces it outside the kernel)."""
     tt = tT_ref.shape[1]
-
-    @pl.when(j == 0)
-    def _():
-        s1_ref[:] = jnp.full((tq, bins), _INIT_KEY_BITS, jnp.int32)
-        s2_ref[:] = jnp.full((tq, bins), _INIT_KEY_BITS, jnp.int32)
-
     q = q_ref[:]  # (TQ, f)
     qsq = jnp.sum(q * q, axis=1, keepdims=True)  # (TQ, 1)
     # (TQ, TT) distance block: one MXU matmul, lives only in VMEM.
@@ -99,6 +95,46 @@ def _knn_body(bins, chunk_mask, q_ref, tT_ref, tsq_ref, s1_ref, s2_ref):
         # two smallest of {key, s1, s2} = (min, median); three int ops
         s1_ref[:] = jnp.minimum(key, s1)
         s2_ref[:] = jnp.minimum(jnp.maximum(key, s1), s2_ref[:])
+
+
+def _knn_body(bins, chunk_mask, q_ref, tT_ref, tsq_ref, s1_ref, s2_ref):
+    j = pl.program_id(1)
+    tq = q_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        s1_ref[:] = jnp.full((tq, bins), _INIT_KEY_BITS, jnp.int32)
+        s2_ref[:] = jnp.full((tq, bins), _INIT_KEY_BITS, jnp.int32)
+
+    _knn_tile_update(
+        bins, chunk_mask, j, q_ref, tT_ref, tsq_ref, s1_ref, s2_ref
+    )
+
+
+def _knn_body_pruned(
+    bins, chunk_mask, lb_ref, ub_ref, q_ref, tT_ref, tsq_ref, s1_ref, s2_ref
+):
+    """Spatially pruned variant: the (query_tile, train_tile) block is
+    skipped entirely when the bounding-box lower bound exceeds the query
+    tile's k-th-neighbor upper bound.  The kernel is VPU-bound
+    (PERF.md r3 stage decomposition), so a skipped block saves its full
+    compute cost even though its DMA still lands."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tq = q_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        s1_ref[:] = jnp.full((tq, bins), _INIT_KEY_BITS, jnp.int32)
+        s2_ref[:] = jnp.full((tq, bins), _INIT_KEY_BITS, jnp.int32)
+
+    # lb/ub ride in SMEM blocks of 8 query-tile rows (Mosaic requires
+    # sublane-dim blocks divisible by 8); this grid step's row is i % 8
+    @pl.when(lb_ref[i % 8, j] <= ub_ref[i % 8, 0])
+    def _():
+        _knn_tile_update(
+            bins, chunk_mask, j, q_ref, tT_ref, tsq_ref, s1_ref, s2_ref
+        )
 
 
 @partial(
@@ -212,6 +248,16 @@ def knn_pallas(
         interpret=interpret,
     )(q_pad, train_pad.T, tsq[None, :])
 
+    return _merge_decode(
+        s1, s2, nn_count, bins, chunk_mask, train_count, query_count,
+        merge_recall,
+    )
+
+
+def _merge_decode(
+    s1, s2, nn_count, bins, chunk_mask, train_count, query_count,
+    merge_recall,
+):
     # merge via approx_min_k (TPU PartialReduce): an exact lax.top_k here
     # is a full per-row sort of 2*bins lanes and dominated the whole query
     # (~10 ms of a 16.5 ms batch at Q=8192, bins=1024); the approximate
@@ -242,3 +288,214 @@ def knn_pallas(
     d2 = jnp.where(invalid, jnp.float32(jnp.inf), d2)
     idx = jnp.minimum(idx, train_count - 1)
     return idx[:query_count], d2[:query_count]
+
+
+def _morton_codes(pts: jnp.ndarray, bits: int = 10) -> jnp.ndarray:
+    """Morton (Z-order) codes: per-dim quantization + bit interleave.
+
+    Low-dimensional spatial data only (the serving sweet spot: sky
+    coordinates, spatial fields).  ``bits`` is capped so codes fit 30 bits.
+    """
+    pts = jnp.asarray(pts, jnp.float32)
+    d = pts.shape[1]
+    bits = min(bits, 30 // d)
+    lo = jnp.min(pts, axis=0)
+    hi = jnp.max(pts, axis=0)
+    scale = (2.0**bits - 1.0) / jnp.maximum(hi - lo, 1e-30)
+    q = jnp.clip((pts - lo) * scale, 0.0, 2.0**bits - 1.0).astype(jnp.int32)
+    code = jnp.zeros(pts.shape[0], jnp.int32)
+    for b in range(bits):
+        for dim in range(d):
+            code = code | (((q[:, dim] >> b) & 1) << (b * d + dim))
+    return code
+
+
+def spatial_sort(pts) -> jnp.ndarray:
+    """Permutation ordering points along a Morton curve.
+
+    Sort the training set with this before :func:`knn_pallas_pruned` so
+    that train tiles are spatially compact (tight bounding boxes -> more
+    tiles pruned)."""
+    return jnp.argsort(_morton_codes(jnp.asarray(pts)))
+
+
+def _tile_bboxes(pts_padded: jnp.ndarray, tile: int):
+    """(n_tiles, d) per-tile bounding boxes of a padded point array."""
+    nt = pts_padded.shape[0] // tile
+    r = pts_padded.reshape(nt, tile, pts_padded.shape[1])
+    return jnp.min(r, axis=1), jnp.max(r, axis=1)
+
+
+def _bbox_lb2(qlo, qhi, tlo, thi) -> jnp.ndarray:
+    """Squared bbox-to-bbox distance lower bound: (nq_tiles, nt_tiles)."""
+    gap = jnp.maximum(
+        0.0,
+        jnp.maximum(
+            tlo[None, :, :] - qhi[:, None, :],
+            qlo[:, None, :] - thi[None, :, :],
+        ),
+    )
+    return jnp.sum(gap * gap, axis=-1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "nn_count", "query_tile", "train_tile", "bins", "merge_recall",
+        "subsample", "interpret",
+    ),
+)
+def knn_pallas_pruned(
+    train: jnp.ndarray,
+    queries: jnp.ndarray,
+    nn_count: int,
+    query_tile: int = 128,
+    train_tile: int = 2048,
+    bins: int = 512,
+    merge_recall: float = 0.99,
+    subsample: int = 16,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Spatially pruned candidate KNN: same contract as :func:`knn_pallas`
+    but skips (query_tile, train_tile) blocks whose bounding boxes are
+    provably farther than the query tile's k-th-neighbor upper bound.
+
+    ``train`` must be Morton-sorted (:func:`spatial_sort`) for the
+    train-tile bounding boxes to be tight; queries are sorted internally
+    and results mapped back, so the caller sees the ordinary layout.
+    Returned indices address the (sorted) ``train`` array passed in.
+
+    The pruning is conservative — a skipped tile provably contains no true
+    k-nearest neighbor, so candidate quality is identical to
+    :func:`knn_pallas` up to the shared merge approximation:
+
+    - the upper bound is the max candidate distance on a ``1/subsample``
+      row subset (a k-NN distance on a subset can only be farther than on
+      the full set), inflated by the packed-key truncation bound;
+    - the lower bound is the exact bbox-to-bbox squared distance.
+
+    The kernel is VPU-bound, so skipped blocks save their full compute
+    cost; at 1M uniform-2D rows ~90% of blocks prune (PERF.md r3).
+    """
+    if train_tile % bins != 0:
+        raise ValueError(f"bins {bins} must divide train_tile {train_tile}")
+    if nn_count > 2 * bins:
+        raise ValueError(
+            f"nn_count {nn_count} exceeds the 2*bins={2 * bins} candidates "
+            "the kernel retains; raise bins or use an exact engine"
+        )
+    query_count, feat = queries.shape
+    train_count = train.shape[0]
+
+    nt = math.ceil(train_count / train_tile)
+    t_padded = nt * train_tile
+    total_chunks = t_padded // bins
+    chunk_bits = max(1, math.ceil(math.log2(total_chunks)))
+    if chunk_bits > 14:
+        raise ValueError(
+            f"{train_count} train points need {chunk_bits} chunk bits at "
+            f"bins={bins}; > 14 bits erodes candidate resolution — raise "
+            "bins or shard the train set"
+        )
+    chunk_mask = (1 << chunk_bits) - 1
+
+    # edge-pad (not zero-pad): padded rows must not widen the last tile's
+    # bounding box; the 1e30 sentinel norm still excludes them as columns
+    train = train.astype(jnp.float32)
+    pad_t = t_padded - train_count
+    train_pad = jnp.concatenate(
+        [train] + ([jnp.repeat(train[-1:], pad_t, axis=0)] if pad_t else []),
+        axis=0,
+    )
+    tsq = jnp.sum(train_pad * train_pad, axis=-1)
+    tsq = jnp.where(
+        jnp.arange(t_padded) < train_count, tsq, jnp.float32(1e30)
+    )
+
+    # sort queries along the same curve so query tiles are compact too
+    qperm = jnp.argsort(_morton_codes(queries))
+    qs = jnp.asarray(queries, jnp.float32)[qperm]
+    nq = math.ceil(query_count / query_tile)
+    q_padded = nq * query_tile
+    pad_q = q_padded - query_count
+    q_pad = jnp.concatenate(
+        [qs] + ([jnp.repeat(qs[-1:], pad_q, axis=0)] if pad_q else []),
+        axis=0,
+    )
+
+    # per-query upper bound on the k-th neighbor distance: max candidate
+    # distance on a row subsample (k-th NN of a subset >= k-th NN of the
+    # set), inflated past the packed-key mantissa truncation
+    _, d2_sub = knn_pallas(
+        train[:: subsample], q_pad, nn_count,
+        query_tile=query_tile, train_tile=train_tile, bins=bins,
+        merge_recall=merge_recall, interpret=interpret,
+    )
+    ub_row = jnp.max(
+        jnp.where(jnp.isfinite(d2_sub), d2_sub, jnp.float32(1e30)), axis=1
+    ) * (1.0 + 2.0**-14)
+    ub = jnp.max(ub_row.reshape(nq, query_tile), axis=1, keepdims=True)
+
+    qlo, qhi = _tile_bboxes(q_pad, query_tile)
+    tlo, thi = _tile_bboxes(train_pad, train_tile)
+    lb = _bbox_lb2(qlo, qhi, tlo, thi)  # (nq, nt)
+
+    # SMEM blocks must have sublane-dim multiples of 8: pad the query-tile
+    # axis and hand the kernel 8-row blocks (row within block = i % 8)
+    nq8 = -(-nq // 8) * 8
+    lb = jnp.pad(lb, ((0, nq8 - nq), (0, 0)))
+    ub = jnp.pad(ub, ((0, nq8 - nq), (0, 0)))
+
+    grid = (nq, nt)
+    kernel = partial(_knn_body_pruned, bins, chunk_mask)
+    s1, s2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (8, nt), lambda i, j: (i // 8, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (8, 1), lambda i, j: (i // 8, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (query_tile, feat), lambda i, j: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (feat, train_tile), lambda i, j: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, train_tile), lambda i, j: (0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec(
+                (query_tile, bins), lambda i, j: (i, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for _ in range(2)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((q_padded, bins), jnp.int32),
+            jax.ShapeDtypeStruct((q_padded, bins), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lb, ub, q_pad, train_pad.T, tsq[None, :])
+
+    idx_s, d2_s = _merge_decode(
+        s1, s2, nn_count, bins, chunk_mask, train_count, q_padded,
+        merge_recall,
+    )
+    # unsort back to the caller's query order
+    qinv = jnp.argsort(qperm)
+    return idx_s[:query_count][qinv[:query_count]], (
+        d2_s[:query_count][qinv[:query_count]]
+    )

@@ -164,11 +164,19 @@ TRAIN_COUNT = 50_000
 
 
 def make_serve_inputs():
-    """On-device training set + query batch for the END-TO-END serve loop."""
+    """On-device training set + query batch for the END-TO-END serve loop.
+
+    The training rows are Morton-sorted, exactly as FastServer's build step
+    does by default at d=2 (spatial_sort auto-on): sorting is offline
+    index-build work, not serve-time work, so the timed loop matches what
+    a production server executes."""
     import jax.numpy as jnp
 
+    from muygpys_tpu.pallas.knn import spatial_sort
+
     rng = np.random.default_rng(1)
-    train = rng.uniform(size=(TRAIN_COUNT, D_FEAT))
+    train = rng.uniform(size=(TRAIN_COUNT, D_FEAT)).astype(np.float32)
+    train = train[np.asarray(spatial_sort(train))]
     targets = rng.standard_normal((TRAIN_COUNT, 1))
     queries = rng.uniform(size=(BATCH, D_FEAT))
     return (
@@ -265,14 +273,16 @@ def end_to_end_loop(
         # re-rank of the +8 over-fetch on the gathered rows
         import jax
 
-        from muygpys_tpu.pallas.knn import knn_pallas
+        from muygpys_tpu.pallas.knn import knn_pallas_pruned
 
-        # FastServer's per-mode kernel geometry (PERF.md r3 tuning sweep)
+        # FastServer's per-mode kernel geometry (PERF.md r3 tuning sweep);
+        # spatially pruned candidates over the Morton-sorted table, the
+        # FastServer default at d=2
         knn_kwargs = {} if rerank else {"bins": 256, "query_tile": 256}
 
         def predict(train, targets, queries):
             table = jnp.concatenate([train, targets], axis=1)
-            cand, _ = knn_pallas(
+            cand, _ = knn_pallas_pruned(
                 train, queries, NN + 8 if rerank else NN, **knn_kwargs
             )
             rows = table[cand]  # (B, C, d+r)

@@ -138,3 +138,60 @@ def test_nn_wrapper_pallas_small_train_falls_back_exact(rng):
     ip, dp = pal.get_nns(queries)
     np.testing.assert_array_equal(ie, ip)
     np.testing.assert_allclose(de, dp, rtol=1e-6)
+
+
+def test_pruned_kernel_matches_exact(problem):
+    """knn_pallas_pruned on Morton-sorted rows: pruning skips only blocks
+    provably beyond the k-th neighbor, so recall vs the exact oracle is at
+    least the unpruned kernel's; distances keep the packed-key contract."""
+    from muygpys_tpu.pallas.knn import knn_pallas_pruned, spatial_sort
+
+    train, queries, _, _ = problem
+    perm = np.asarray(spatial_sort(train))
+    ts = train[perm]
+    d2s = ((queries[:, None, :] - ts[None, :, :]) ** 2).sum(-1)
+    order_s = np.argsort(d2s, axis=1)
+    k = 40
+    idx_p, dist_p = knn_pallas_pruned(
+        jnp.asarray(ts), jnp.asarray(queries), k,
+        query_tile=128, train_tile=1024, bins=512, subsample=8,
+        interpret=True,
+    )
+    idx_u, _ = knn_pallas(
+        jnp.asarray(ts), jnp.asarray(queries), k,
+        query_tile=128, train_tile=1024, bins=512, interpret=True,
+    )
+    assert _recall(idx_p, order_s, k) >= _recall(idx_u, order_s, k)
+    assert _recall(idx_p, order_s, k) > 0.99
+    true = np.take_along_axis(d2s, np.asarray(idx_p), axis=1)
+    np.testing.assert_allclose(np.asarray(dist_p), true, rtol=0, atol=5e-5)
+
+
+def test_nn_wrapper_pallas_spatial(rng):
+    """NN_Wrapper(nn_method='pallas') with spatial pruning returns
+    ORIGINAL row indices identical to the exact engine (over-fetch +
+    exact re-rank absorbs the candidate approximation at this scale)."""
+    from muygpys_tpu.neighbors import NN_Wrapper
+    import muygpys_tpu.pallas.knn as knn_mod
+
+    orig_p = knn_mod.knn_pallas_pruned
+    knn_mod.knn_pallas_pruned = lambda *a, **k: orig_p(
+        *a, **{**k, "interpret": True}
+    )
+    try:
+        train = rng.uniform(size=(2500, 2))
+        queries = rng.uniform(size=(64, 2))
+        exact = NN_Wrapper(train, nn_count=10, nn_method="exact")
+        pal = NN_Wrapper(train, nn_count=10, nn_method="pallas")
+        assert pal._spatial
+        ie, de = exact.get_nns(queries)
+        ip, dp = pal.get_nns(queries)
+        agree = np.mean(
+            [len(np.intersect1d(ie[i], ip[i])) / 10 for i in range(64)]
+        )
+        assert agree > 0.995, agree
+        np.testing.assert_allclose(
+            np.sort(dp, axis=1), np.sort(de, axis=1), rtol=1e-5, atol=1e-7
+        )
+    finally:
+        knn_mod.knn_pallas_pruned = orig_p

@@ -159,6 +159,89 @@ def test_fused_engine_norerank(problem, monkeypatch):
     np.testing.assert_allclose(var, var_ref, rtol=1e-8, atol=1e-10)
 
 
+def test_fused_engine_spatial_sort(rng, monkeypatch):
+    """spatial_sort=True: Morton-sorted table + pruned candidate kernel.
+    Pruning is conservative (a skipped block provably holds no true
+    neighbor), so with the exact re-rank the posterior must match the
+    reference chain exactly."""
+    from muygpys_tpu.pallas import fused_predict as fp
+    from muygpys_tpu.pallas import knn as knn_mod
+
+    orig_fp = fp.fused_predict_coords_bl
+    orig_knn = knn_mod.knn_pallas
+    orig_pruned = knn_mod.knn_pallas_pruned
+
+    def interp_fp(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig_fp(*args, **kwargs)
+
+    def interp_knn(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig_knn(*args, **kwargs)
+
+    def interp_pruned(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig_pruned(*args, **kwargs)
+
+    monkeypatch.setattr(
+        "muygpys_tpu.pallas.fused_predict.fused_predict_coords_bl",
+        interp_fp,
+    )
+    monkeypatch.setattr("muygpys_tpu.pallas.knn.knn_pallas", interp_knn)
+    monkeypatch.setattr(
+        "muygpys_tpu.pallas.knn.knn_pallas_pruned", interp_pruned
+    )
+    xtr = rng.uniform(size=(2048, 2)).astype(np.float32)
+    ytr = rng.standard_normal((2048, 1)).astype(np.float32)
+    xte = rng.uniform(size=(40, 2)).astype(np.float32)
+    model = _model(1.5)
+    nbrs = NN_Wrapper(xtr, 12, nn_method="exact")
+
+    # kernel-level guarantee: pruning never loses a true neighbor the
+    # unpruned kernel would have kept (it skips only provably irrelevant
+    # blocks) — recall vs the exact oracle matches the unpruned kernel
+    import jax.numpy as jnp
+
+    sorted_idx = np.asarray(knn_mod.spatial_sort(xtr))
+    ts = xtr[sorted_idx]
+    k = 12
+    ip, _ = interp_pruned(jnp.asarray(ts), jnp.asarray(xte), k)
+    iu, _ = interp_knn(jnp.asarray(ts), jnp.asarray(xte), k)
+    d2 = ((xte[:, None, :] - ts[None, :, :]) ** 2).sum(-1)
+    exact = np.argsort(d2, axis=1)[:, :k]
+
+    def recall(a):
+        a = np.asarray(a)
+        return np.mean(
+            [len(np.intersect1d(a[i], exact[i])) / k for i in range(40)]
+        )
+
+    assert recall(ip) >= recall(iu)
+
+    # server-level: the sorted+pruned chain equals the unsorted chain's
+    # posterior (identical candidate quality; both carry the kernel's own
+    # merge approximation at this scale, so the REFERENCE is not the bar)
+    plain = FastServer(
+        model, nbrs, xtr, ytr, bucket=64, engine="fused",
+        spatial_sort=False,
+    )
+    server = FastServer(
+        model, nbrs, xtr, ytr, bucket=64, engine="fused",
+        spatial_sort=True,
+    )
+    assert server._spatial and not plain._spatial
+    m0, v0 = plain.predict(xte)
+    mean, var = server.predict(xte)
+    np.testing.assert_allclose(mean, m0, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(var, v0, rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="spatial_sort"):
+        FastServer(
+            model, nbrs, xtr[:512], ytr[:512], bucket=64, engine="fused",
+            spatial_sort=True,
+        )
+
+
 def test_mesh_sharded_serving(problem, monkeypatch):
     """FastServer(mesh=...): queries sharded over the 8-device virtual
     mesh, table replicated — posterior equals the single-device serve
