@@ -58,7 +58,9 @@ def _pallas_available() -> bool:
         "h.compile_loops("
         "functools.partial(h.end_to_end_loop, use_pallas=True, rerank=False),"
         "h.make_serve_inputs());"
-        "print('PALLAS_OK')"
+        "print('PALLAS_OK');"
+        "h.compile_loops(h.fused_train_loop, h.make_train_inputs());"
+        "print('PALLAS_TRAIN_OK')"
     )
     env = dict(os.environ)
     env["PYTHONPATH"] = (
@@ -81,18 +83,18 @@ def _pallas_available() -> bool:
                 f"stderr_tail={out.stderr[-2000:]!r}",
                 file=sys.stderr,
             )
-            return False
-        return True
+            return False, False
+        return True, "PALLAS_TRAIN_OK" in out.stdout
     except subprocess.TimeoutExpired:
         print(
             f"bench: pallas probe timed out after {PROBE_TIMEOUT_S}s "
             "(cold Mosaic compile; run scripts/warm_pallas_cache.py)",
             file=sys.stderr,
         )
-        return False
+        return False, False
     except OSError as err:
         print(f"bench: pallas probe failed to spawn: {err}", file=sys.stderr)
-        return False
+        return False, False
 
 
 def main():
@@ -100,7 +102,7 @@ def main():
     # Probe BEFORE the parent touches JAX: the subprocess must also acquire
     # the accelerator to compile, which fails on runtimes with exclusive
     # device acquisition if the parent already holds it.
-    use_pallas = _pallas_available()
+    use_pallas, use_pallas_train = _pallas_available()
 
     from muygpys_tpu.performance import headline as h
 
@@ -128,6 +130,16 @@ def main():
     )
     e2e_approx_per_sec = h.BATCH / e2e_approx
 
+    # training headline: whole-trajectory LOO value+grad steps (lool,
+    # length_scale + noise free, batch 2048) inside one compiled loop —
+    # the fused Pallas analytic-gradient kernel, or the XLA lane-layout
+    # jit(value_and_grad) fallback
+    train_step = h.measure(
+        h.fused_train_loop if use_pallas_train else h.xla_train_loop,
+        h.make_train_inputs(),
+    )
+    train_steps_per_sec = 1.0 / train_step
+
     print(
         json.dumps(
             {
@@ -140,6 +152,11 @@ def main():
                     e2e_approx_per_sec, 1
                 ),
                 "end_to_end_train_count": h.TRAIN_COUNT,
+                "train_steps_per_sec": round(train_steps_per_sec, 1),
+                "train_batch": h.TRAIN_BATCH,
+                "train_engine": (
+                    "pallas-fused" if use_pallas_train else "xla-lanes"
+                ),
                 "engine": "pallas-coords" if use_pallas else "xla-lanes",
             }
         )

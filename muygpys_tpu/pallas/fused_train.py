@@ -341,7 +341,7 @@ def _epilogue(stats, t_bl, loss, free_names, n):
         grads["length_scale"] = -dlool(dmL, dvL, dsL)
     if "noise" in free_names:
         # d sigma^2 / d noise == 0 under the stored-noise quirk
-        grads["noise"] = -dlool(dmN, dvN, jnp.zeros(()))
+        grads["noise"] = -dlool(dmN, dvN, jnp.zeros((), var.dtype))
     return value, grads
 
 

@@ -311,6 +311,140 @@ def end_to_end_loop(
     return _loop(predict, iters, perturb_arg=2)
 
 
+TRAIN_BATCH = 2048  # LOO training batch (PERF.md fused-train config)
+TRAIN_TILE = 256
+TRAIN_LR = 1e-3
+
+
+def make_train_inputs():
+    """Batch-last LOO training tensors ``(pw, cw, y, t)``, f32.
+
+    Same d=2 neighborhood geometry as the serve inputs; batch 2048 matches
+    the PERF.md fused-train measurement config."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    nf = rng.uniform(size=(NN, D_FEAT, TRAIN_BATCH))
+    q = rng.uniform(size=(D_FEAT, TRAIN_BATCH))
+    pw = np.sqrt(((nf[:, None] - nf[None, :]) ** 2).sum(axis=2))
+    cw = np.sqrt(((nf - q[None]) ** 2).sum(axis=1))
+    y = rng.standard_normal((NN, 1, TRAIN_BATCH))
+    t = rng.standard_normal((1, TRAIN_BATCH))
+    return (
+        jnp.asarray(pw, jnp.float32),  # (nn, nn, B)
+        jnp.asarray(cw, jnp.float32),  # (nn, B)
+        jnp.asarray(y, jnp.float32),  # (nn, 1, B)
+        jnp.asarray(t, jnp.float32),  # (1, B)
+    )
+
+
+def fused_train_loop(iters, interpret: bool = False):
+    """Whole-trajectory training loop: one fused value+analytic-grad LOO
+    step (lool, length_scale + noise free) and a gradient-ascent update per
+    iteration, inside ONE jitted program.
+
+    Hyperparameters are traced SMEM scalars in the kernel, so the loop
+    carries them through ``fori_loop`` — nothing is loop-invariant, no
+    perturbation trick needed: every iteration factorizes fresh matrices.
+    This is the producer behind ``bench.py``'s ``train_steps_per_sec``."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from muygpys_tpu.pallas import fused_train as ft
+
+    free = ("length_scale", "noise")
+    tile = min(TRAIN_TILE, TRAIN_BATCH)
+
+    @jax.jit
+    def loop(pw, cw, y, t):
+        def body(i, carry):
+            ls, noise, acc = carry
+            params = jnp.stack([ls, noise, noise])
+            stats = ft.fused_train_stats_bl(
+                pw, cw, y, params,
+                smoothness=SMOOTHNESS,
+                metric_power=1,
+                noise_free=True,
+                batch_tile=tile,
+                interpret=interpret,
+            )
+            value, grads = ft._epilogue(stats, t, "lool", free, NN)
+            # clipped ascent: LOO noise gradients reach ~1e5 at this batch
+            # size, so raw SGD would fling the nugget out of the sane
+            # region; bounded updates keep the timed trajectory realistic
+            # (per-step cost is shape-only either way)
+            ls = ls + TRAIN_LR * jnp.clip(grads["length_scale"], -1.0, 1.0)
+            noise = jnp.maximum(
+                noise + TRAIN_LR * jnp.clip(grads["noise"], -1.0, 1.0),
+                jnp.float32(1e-6),
+            )
+            return ls, noise, acc + value
+
+        init = (
+            jnp.asarray(LENGTH_SCALE, jnp.float32),
+            jnp.asarray(NOISE, jnp.float32),
+            jnp.asarray(0.0, jnp.float32),
+        )
+        ls, noise, acc = lax.fori_loop(0, iters, body, init)
+        return acc + ls + noise
+
+    return loop
+
+
+def xla_train_loop(iters):
+    """Same trajectory via the XLA lane-layout objective
+    (jit(value_and_grad) through the factorization) — the fallback
+    training engine when no Pallas executable is cached."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from muygpys_tpu.ops import kernels as k
+    from muygpys_tpu.ops.lanes_solver import cholesky_bl, tri_solve_fwd_bl
+
+    eye_bl = jnp.eye(NN, dtype=jnp.float32)[:, :, None]
+
+    def objective(ls, noise, pw, cw, y, t):
+        Kin = k.matern_15_fn(pw / ls) + noise * eye_bl
+        Kc = k.matern_15_fn(cw / ls)
+        # one forward substitution serves mean, variance and sigma^2:
+        # z = L^{-1}[kc | y] -> mean = zc.zy, var = 1 - zc.zc, q = zy.zy
+        rhs = jnp.concatenate([Kc[:, None, :], y], axis=1)
+        z = tri_solve_fwd_bl(cholesky_bl(Kin), rhs)  # (n, 2, B)
+        zc, zy = z[:, 0, :], z[:, 1, :]
+        mean = jnp.einsum("nb,nb->b", zc, zy)[None]
+        var = 1.0 - jnp.einsum("nb,nb->b", zc, zc)
+        s = jnp.sum(zy * zy) / (TRAIN_BATCH * NN)
+        sv = jnp.maximum(s * var, 10.0 * jnp.finfo(jnp.float32).eps)
+        e = mean - t
+        return -(jnp.sum(e * e / sv[None]) + jnp.sum(jnp.log(sv)))
+
+    vag = jax.value_and_grad(objective, argnums=(0, 1))
+
+    @jax.jit
+    def loop(pw, cw, y, t):
+        def body(i, carry):
+            ls, noise, acc = carry
+            value, (gl, gn) = vag(ls, noise, pw, cw, y, t)
+            ls = ls + TRAIN_LR * jnp.clip(gl, -1.0, 1.0)
+            noise = jnp.maximum(
+                noise + TRAIN_LR * jnp.clip(gn, -1.0, 1.0),
+                jnp.float32(1e-6),
+            )
+            return ls, noise, acc + value
+
+        init = (
+            jnp.asarray(LENGTH_SCALE, jnp.float32),
+            jnp.asarray(NOISE, jnp.float32),
+            jnp.asarray(0.0, jnp.float32),
+        )
+        ls, noise, acc = lax.fori_loop(0, iters, body, init)
+        return acc + ls + noise
+
+    return loop
+
+
 def compile_loops(loop_factory, inputs):
     """Compile + run the 1-iter and N-iter programs (host-synced)."""
     loop1, loopN = loop_factory(1), loop_factory(ITERS + 1)

@@ -52,6 +52,12 @@ def main():
         f"{time.perf_counter() - t0:.1f}s", flush=True,
     )
     t0 = time.perf_counter()
+    h.compile_loops(h.fused_train_loop, h.make_train_inputs())
+    print(
+        f"fused train loop programs compiled in "
+        f"{time.perf_counter() - t0:.1f}s", flush=True,
+    )
+    t0 = time.perf_counter()
     h.compile_loops(h.pallas_loop, h.make_inputs())
     print(f"pallas loop programs compiled in {time.perf_counter() - t0:.1f}s")
 

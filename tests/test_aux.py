@@ -285,6 +285,27 @@ class TestBenchmarkHarness:
         t = benchmark_fn(lambda x: jnp.sum(x * x), jnp.ones(100), iters=3)
         assert t > 0
 
+    @pytest.mark.slow  # unrolled lanes loop compiles ~minutes on CPU
+    def test_bench_train_loop_producers_agree(self, monkeypatch):
+        """bench.py's train_steps_per_sec producers: the Pallas fused loop
+        (interpret mode here) and the XLA lanes fallback compute the same
+        initial LOO objective and finite trajectories.
+
+        The two engines' noise gradients differ by design (the fused kernel
+        mirrors the reference's stored-noise sigma^2 quirk, so d sigma^2 /
+        d noise = 0 there), so only the first evaluation is compared
+        tightly."""
+        from muygpys_tpu.performance import headline as h
+
+        monkeypatch.setattr(h, "TRAIN_BATCH", 64)
+        inputs = h.make_train_inputs()
+        a1 = float(np.asarray(h.xla_train_loop(1)(*inputs)))
+        b1 = float(np.asarray(h.fused_train_loop(1, interpret=True)(*inputs)))
+        assert np.isfinite(a1) and np.isfinite(b1)
+        assert abs(a1 - b1) <= 1e-2 * max(1.0, abs(a1))
+        a3 = float(np.asarray(h.xla_train_loop(3)(*inputs)))
+        assert np.isfinite(a3)
+
 
 class TestConfig:
     def test_parse_flags(self):
