@@ -36,16 +36,22 @@ import subprocess
 import sys
 
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
-PROBE_TIMEOUT_S = 300
+PROBE_TIMEOUT_S = 480  # the probe compiles serve AND train loop programs
 
 
-def _pallas_available() -> bool:
+def _pallas_available() -> "tuple[bool, bool]":
     """Compile the Pallas loop programs in a subprocess with a timeout.
 
     A cache hit (persistent .jax_cache or the remote-compile service's own
     cache) takes seconds; a cold Mosaic compile takes ~10 min per program
     and we don't gamble the bench run on it.  On success the caches are
     warm, so the in-process compiles below are fast either way.
+
+    Returns ``(serve_ok, train_ok)``: the serve programs compile first and
+    print ``PALLAS_OK``, then the train programs print ``PALLAS_TRAIN_OK``
+    — on a partial cache (serve warm, train cold) the timeout/nonzero-exit
+    paths still honor whatever markers made it to stdout, so a cold train
+    compile cannot demote the serve benchmark to the ~12x slower XLA path.
     """
     code = (
         "import functools;"
@@ -85,13 +91,20 @@ def _pallas_available() -> bool:
             )
             return False, False
         return True, "PALLAS_TRAIN_OK" in out.stdout
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as exc:
+        # partial progress still counts: capture_output pipes stdout into
+        # the exception, so a warm serve cache is honored even when the
+        # train programs' cold Mosaic compile eats the timeout
+        partial = exc.stdout or b""
+        if isinstance(partial, bytes):
+            partial = partial.decode(errors="replace")
         print(
             f"bench: pallas probe timed out after {PROBE_TIMEOUT_S}s "
-            "(cold Mosaic compile; run scripts/warm_pallas_cache.py)",
+            "(cold Mosaic compile; run scripts/warm_pallas_cache.py); "
+            f"markers seen: {partial.strip()!r}",
             file=sys.stderr,
         )
-        return False, False
+        return "PALLAS_OK" in partial, "PALLAS_TRAIN_OK" in partial
     except OSError as err:
         print(f"bench: pallas probe failed to spawn: {err}", file=sys.stderr)
         return False, False

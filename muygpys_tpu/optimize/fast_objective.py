@@ -18,7 +18,7 @@ case — r1 VERDICT missing #6):
 - noise: homoscedastic (scalar, optionally free) and heteroscedastic
   (per-neighbor tensor, always fixed — reference
   ``_src/gp/noise/numpy.py:56-67``);
-- losses: lool, mse.
+- losses: lool, mse, looph.
 
 Drop-in with the chassis:
 

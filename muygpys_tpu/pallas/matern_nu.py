@@ -1,0 +1,495 @@
+"""Traced-smoothness general Matern for the Pallas fast paths.
+
+The library's signature model class trains the Matern smoothness ``nu`` as a
+free parameter (reference ``gp/kernels/matern.py:61-81``,
+``docs/examples/univariate_regression_tutorial.ipynb``), but a modified
+Bessel ``K_nu`` evaluation per kernel element is far too expensive inside a
+VMEM kernel (the Temme/CF2 recurrences of :mod:`muygpys_tpu.ops.bessel` cost
+~10^3 FLOPs per element).  This module splits the work:
+
+1. :func:`matern_nu_coeffs` runs **outside** the kernel (plain XLA, once per
+   optimizer step / server build) and compresses the entire nu-dependence of
+
+       phi_nu(t) = 2^{1-nu}/Gamma(nu) * t^nu * K_nu(t),   t = sqrt(2 nu) d/l
+
+   into ~10^2 scalars: exact power-series coefficients on ``t <= T0`` and a
+   Chebyshev fit of ``phi * e^t`` on ``[T0, TMAX]``.  Everything is a smooth
+   function of ``nu`` built from ``gammaln`` and :func:`~muygpys_tpu.ops.
+   bessel.kve`` (which carries an exact order-derivative JVP), so the
+   coefficients are **differentiable in nu** — gradient-based smoothness
+   training rides straight through the builder.
+
+2. :func:`matern_nu_eval` evaluates phi (and optionally d phi/dt and the
+   partial d phi/d nu at fixed t) from those scalars in ~10^2 FLOPs per
+   element — two Horner chains + one Clenshaw + a few transcendentals —
+   cheap enough for the fused serve/train kernels.  It is pure elementwise
+   jnp code, usable identically inside a Pallas kernel body (coefficients in
+   SMEM) or in plain XLA (for conformance tests).
+
+Mathematical shape (small branch, w = t^2/4):
+
+    phi_nu(t) = P(w) + expm1(mu * ln w) * w^n * Q(w)
+
+with ``nu = n + mu`` (``n`` the nearest integer, ``|mu| <= 1/2``), from the
+two modified-Bessel-I series of ``K_nu``:
+
+    u_k = (-1)^k / (k! * prod_{i=1..k} (nu - i))          [reflection form]
+    q_j = -pi / (sin(pi nu) Gamma(nu) j! Gamma(j+1+nu))
+    P coefficients: a_k = u_k + q_{k-n} (k >= n; the near-integer 1/sin
+    blow-ups of u and q cancel HERE, in the builder's precision, not in the
+    kernel's f32)
+
+Near-integer nu the raw coefficients are singular (the classical K_n log
+case); the builder clamps ``|mu| >= MU_CLAMP`` (1e-7 in f64, 3e-3 in f32),
+costing a value error ~|d phi/d nu| * MU_CLAMP inside the clamp zone and a
+frozen nu-gradient there — both far below the reference's smoothness
+recovery tolerances (2.5e-1, reference ``_test/optimize.py:38-43``).
+
+Certified domain: ``nu in [NU_MIN, NU_MAX] = [0.05, 10]``, any t >= 0
+(``phi < 4e-11`` beyond TMAX=42 for nu <= 10; the tail extrapolates with the
+correct e^{-t} decay).  Accuracy vs the exact chain is pinned by
+tests/test_matern_nu.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.special import gammaln
+
+from muygpys_tpu.ops.bessel import kve
+
+T0 = 2.0  # series/tail split: the P vs Em*w^n*Q pieces grow ~ e^t/2 each
+# while phi decays, so f32 cancellation costs ~ e^{T0} eps / phi(T0) — at
+# T0=2 that is ~6e-6; T0=4 measured 1.5e-4 (too big for the serve budgets)
+TMAX = 42.0
+KSM = 14  # series terms on t <= T0 (tail term < 1e-12 at t = T0)
+NTAIL = 40  # Chebyshev coefficients of log(phi e^t) on [T0, TMAX]
+NU_MIN = 0.05
+NU_MAX = 10.0
+
+# tail fit: Chebyshev of g(t) = log(phi * e^t) on [T0, TMAX] — the LOG is
+# fitted because for nu >> 1 the pre-asymptotic tail behaves like
+# exp(t - t^2/(4 nu)), which no low-degree polynomial captures directly,
+# while its log is smooth and O(30) in magnitude across the whole nu range
+_S_MID = 0.5 * (T0 + TMAX)
+_S_HALF = 0.5 * (TMAX - T0)
+
+# flat coefficient-vector layout (static offsets; scalars first)
+_N_SCAL = 5  # [sq2nu, n, mu, dmu_gate (0 in the clamp zone), inv_2nu]
+_OFF_A = _N_SCAL
+_OFF_B = _OFF_A + KSM
+_OFF_C = _OFF_B + KSM
+_LEN_VAL = _OFF_C + NTAIL  # value-only vector length
+# with derivative sets appended: [ap(KSM-1), bp(KSM-1), cp(NTAIL)]
+_OFF_AP = _LEN_VAL
+_OFF_BP = _OFF_AP + KSM - 1
+_OFF_CP = _OFF_BP + KSM - 1
+_LEN_DT = _OFF_CP + NTAIL
+# with nu-tangent sets appended: [da(KSM), db(KSM), dc(NTAIL)]
+_OFF_DA = _LEN_DT
+_OFF_DB = _OFF_DA + KSM
+_OFF_DC = _OFF_DB + KSM
+_LEN_DNU = _OFF_DC + NTAIL
+
+_FACT = np.array([math.factorial(k) for k in range(KSM)], np.float64)
+_LOG_FACT = np.array(
+    [math.lgamma(k + 1) for k in range(KSM)], np.float64
+)
+
+# Chebyshev-Gauss interpolation matrix: c = _CHEB_MAT @ h(nodes)
+_theta = np.pi * (np.arange(NTAIL) + 0.5) / NTAIL
+_NODES_S = np.cos(_theta)  # s in (-1, 1)
+_CHEB_MAT = (
+    2.0 / NTAIL
+) * np.cos(np.outer(np.arange(NTAIL), _theta))
+_CHEB_MAT[0] *= 0.5
+_NODES_T = _S_MID + _S_HALF * _NODES_S
+
+
+def _cheb_deriv_coeffs(c):
+    """d/ds coefficients of a Chebyshev series (standard recurrence)."""
+    d = [None] * (NTAIL + 1)
+    d[NTAIL] = d[NTAIL - 1] = jnp.zeros_like(c[0])
+    for k in range(NTAIL - 1, 0, -1):
+        d[k - 1] = d[k + 1] + 2.0 * k * c[k]
+    d[0] = 0.5 * d[0]
+    return jnp.stack(d[:NTAIL])
+
+
+def _build_value_coeffs(nu):
+    """All phi_nu coefficients as one flat f64/f32 vector (length _LEN_DT).
+
+    Smooth in ``nu`` (away from the MU_CLAMP zones), so ``jax.jvp`` through
+    this function yields the exact nu-tangent coefficient sets.
+    """
+    dtype = jnp.result_type(nu, float)
+    nu = jnp.asarray(nu, dtype)
+    n = jnp.floor(nu + 0.5)
+    mu = nu - n
+    clamp = 1e-7 if dtype == jnp.float64 else 3e-3
+    mu_sign = jnp.where(mu >= 0.0, 1.0, -1.0)
+    mu_eff = jnp.where(jnp.abs(mu) < clamp, mu_sign * clamp, mu)
+    nu_eff = n + mu_eff
+
+    # u_k = (-1)^k / (k! prod_{i=1..k}(nu - i))   [stable reflection form]
+    # (nu - i) computed as mu + (n - i): adding the exact integer n - i
+    # keeps mu's full precision — forming nu_eff = n + mu first and
+    # subtracting i would absorb mu into the integer part and poison the
+    # near-integer cancellation a_k = u_k + q_{k-n} at the 1e-2 level
+    ks = jnp.arange(1, KSM, dtype=dtype)
+    prods = jnp.cumprod(mu_eff + (n - ks))
+    sign = jnp.asarray((-1.0) ** np.arange(1, KSM), dtype)
+    u = jnp.concatenate(
+        [jnp.ones((1,), dtype), sign / (jnp.asarray(_FACT[1:], dtype) * prods)]
+    )
+
+    # q_j = -pi / (sin(pi nu) Gamma(nu) j! Gamma(j+1+nu)); sin(pi nu)
+    # computed as (-1)^n sin(pi mu) for full accuracy near integers
+    js = jnp.arange(KSM, dtype=dtype)
+    log_mag = (
+        -gammaln(nu_eff)
+        - gammaln(js + 1.0 + nu_eff)
+        - jnp.asarray(_LOG_FACT, dtype)
+    )
+    sin_pinu = (1.0 - 2.0 * jnp.mod(n, 2.0)) * jnp.sin(jnp.pi * mu_eff)
+    q = -(jnp.pi / sin_pinu) * jnp.exp(log_mag)
+
+    # merged regular part: a_k = u_k + q_{k-n} for k >= n — the 1/sin
+    # blow-ups cancel here, in builder precision
+    idx = jnp.arange(KSM)
+    n_int = n.astype(jnp.int32)
+    shifted = jnp.take(q, jnp.clip(idx - n_int, 0, KSM - 1))
+    a = u + jnp.where(idx >= n_int, shifted, jnp.zeros((), dtype))
+
+    # tail: Chebyshev fit of g(t) = log(phi * e^t) at fixed t-nodes
+    t_nodes = jnp.asarray(_NODES_T, dtype)
+    log_pref = (1.0 - nu_eff) * jnp.log(jnp.asarray(2.0, dtype)) - gammaln(
+        nu_eff
+    )
+    g = (
+        log_pref
+        + nu_eff * jnp.log(t_nodes)
+        + jnp.log(kve(nu_eff, t_nodes))
+    )
+    c = jnp.asarray(_CHEB_MAT, dtype) @ g
+
+    # argument-derivative sets: P'(w), Q'(w) Horner coefficients and the
+    # Chebyshev d/ds coefficients of the tail
+    kp = jnp.arange(1, KSM, dtype=dtype)
+    ap = kp * a[1:]
+    bp = kp * q[1:]
+    cp = _cheb_deriv_coeffs(c)
+
+    scal = jnp.stack(
+        [
+            jnp.sqrt(2.0 * nu_eff),
+            n,
+            mu_eff,
+            # nu-tangent gate: 0 inside the clamp zone, where the builder's
+            # jvp freezes the coefficient tangents — the explicit L*X*Q
+            # term below must freeze WITH them (alone it is an unbalanced
+            # O(1/mu) half of a cancelling pair)
+            jnp.where(jnp.abs(mu) < clamp, 0.0, 1.0).astype(dtype),
+            0.5 / nu_eff,
+        ]
+    )
+    return jnp.concatenate([scal, a, q, c, ap, bp, cp])
+
+
+@functools.partial(jax.jit, static_argnames=("need_dnu",))
+def matern_nu_coeffs(nu, need_dnu: bool = False):
+    """Flat coefficient vector for :func:`matern_nu_eval`.
+
+    ``need_dnu`` appends the nu-tangent sets (built by ``jax.jvp`` through
+    the builder — analytic, not finite-difference) for the fused training
+    kernel's d/d nu rows.  Differentiable in ``nu`` either way.
+    """
+    if need_dnu:
+        co, dco = jax.jvp(
+            _build_value_coeffs, (nu,), (jnp.ones_like(jnp.asarray(nu, jnp.result_type(nu, float))),)
+        )
+        return jnp.concatenate(
+            [
+                co,
+                dco[_OFF_A:_OFF_B],  # da
+                dco[_OFF_B:_OFF_C],  # db
+                dco[_OFF_C:_LEN_VAL],  # dc
+            ]
+        )
+    return _build_value_coeffs(nu)
+
+
+def _horner(coefs, w):
+    acc = coefs[-1]
+    for ck in coefs[-2::-1]:
+        acc = acc * w + ck
+    return acc
+
+
+def _clenshaw(coefs, s):
+    b1 = jnp.zeros_like(s)
+    b2 = jnp.zeros_like(s)
+    for ck in coefs[:0:-1]:
+        b0 = ck + 2.0 * s * b1 - b2
+        b2, b1 = b1, b0
+    return coefs[0] + s * b1 - b2
+
+
+def _expm1(z):
+    """Kernel-safe expm1: 4-term series under |z| < 1e-2 (abs err < 1e-12),
+    plain exp(z)-1 above (no cancellation there)."""
+    small = jnp.abs(z) < 1e-2
+    zs = jnp.where(small, jnp.zeros_like(z), z)
+    series = z * (1.0 + z * (0.5 + z * (1.0 / 6.0 + z * (1.0 / 24.0))))
+    return jnp.where(small, series, jnp.exp(zs) - 1.0)
+
+
+def matern_nu_eval(t, coef, need_dt: bool = False, need_dnu: bool = False):
+    """Elementwise ``phi_nu`` from a :func:`matern_nu_coeffs` vector.
+
+    Args:
+        t: scaled distances ``sqrt(2 nu) * d / length_scale`` (>= 0), any
+            shape.  (``coef[0]`` carries ``sqrt(2 nu)`` for the caller.)
+        coef: flat coefficient vector (array or Pallas SMEM ref — indexed
+            only at static positions).
+        need_dt / need_dnu: also return ``d phi/d t`` and the *partial*
+            ``d phi/d nu`` at fixed t (the caller owns the
+            ``dt/dnu = t/(2 nu)`` chain term via ``coef[4] = 1/(2 nu)``).
+
+    Returns ``phi`` or a tuple ``(phi, [dphi_dt], [dphi_dnu_partial])``.
+    """
+    dtype = t.dtype
+    nf = coef[1]
+    mu = coef[2]
+
+    a = [coef[_OFF_A + k] for k in range(KSM)]
+    b = [coef[_OFF_B + k] for k in range(KSM)]
+    c = [coef[_OFF_C + k] for k in range(NTAIL)]
+
+    # ---- small branch: w = t^2/4 ----
+    w = 0.25 * t * t
+    ws = jnp.maximum(w, jnp.asarray(1e-30, dtype))
+    L = jnp.log(ws)
+    Em = _expm1(mu * L)
+    Wn = jnp.exp(nf * L)  # w^n
+    P = _horner(a, ws)
+    Q = _horner(b, ws)
+    phi_small = P + Em * Wn * Q
+
+    # ---- tail branch: phi = exp(g(t) - t), g Chebyshev-fitted ----
+    tc = jnp.clip(t, T0, TMAX)
+    s = (tc - _S_MID) / _S_HALF
+    G = _clenshaw(c, s)
+    phi_tail = jnp.exp(G - t)
+
+    use_small = t <= T0
+    phi = jnp.where(use_small, phi_small, phi_tail)
+    phi = jnp.where(t <= 0.0, jnp.ones_like(phi), phi)
+    out = (phi,)
+
+    if need_dt:
+        ap = [coef[_OFF_AP + k] for k in range(KSM - 1)]
+        bp = [coef[_OFF_BP + k] for k in range(KSM - 1)]
+        cp = [coef[_OFF_CP + k] for k in range(NTAIL)]
+        X = Em + 1.0  # w^mu
+        dP = _horner(ap, ws)
+        dQ = _horner(bp, ws)
+        # d/dw [P + Em w^n Q] = P' + w^n (Em Q' + mu X Q / w) + n w^{n-1} Em Q
+        dphi_dw = (
+            dP
+            + Wn * (Em * dQ + mu * X * Q / ws)
+            + nf * (Wn / ws) * Em * Q
+        )
+        dsmall = dphi_dw * (0.5 * t)  # dw/dt = t/2
+        dG = _clenshaw(cp, s)
+        ds_dt = jnp.where(
+            t > TMAX, jnp.zeros_like(t), jnp.full_like(t, 1.0 / _S_HALF)
+        )
+        dtail = phi_tail * (dG * ds_dt - 1.0)
+        dphi_dt = jnp.where(use_small, dsmall, dtail)
+        dphi_dt = jnp.where(t <= 0.0, jnp.zeros_like(dphi_dt), dphi_dt)
+        out = out + (dphi_dt,)
+
+    if need_dnu:
+        da = [coef[_OFF_DA + k] for k in range(KSM)]
+        db = [coef[_OFF_DB + k] for k in range(KSM)]
+        dc = [coef[_OFF_DC + k] for k in range(NTAIL)]
+        X = Em + 1.0
+        Pd = _horner(da, ws)
+        Qd = _horner(db, ws)
+        # coefficient tangents + the explicit dEm/dmu = L X (dmu/dnu = 1
+        # away from the piecewise boundaries, 0 in the frozen clamp zone —
+        # coef[3]; dn/dnu = 0)
+        gate = coef[3]
+        dnu_small = Pd + Wn * (Em * Qd + gate * (L * X * Q))
+        dnu_tail = phi_tail * _clenshaw(dc, s)
+        dphi_dnu = jnp.where(use_small, dnu_small, dnu_tail)
+        dphi_dnu = jnp.where(
+            t <= 0.0, jnp.zeros_like(dphi_dnu), dphi_dnu
+        )
+        out = out + (dphi_dnu,)
+
+    return out if len(out) > 1 else out[0]
+
+
+def _kve_host(v: float, x) -> np.ndarray:
+    """numpy-f64 ``exp(x) K_v(x)`` (same Temme/CF2 algorithm as
+    :mod:`muygpys_tpu.ops.bessel`) — the host builder must not depend on
+    jax's x64 mode (TPU serving processes run with x64 off)."""
+    x = np.asarray(x, np.float64)
+    v = abs(float(v))
+    n = math.floor(v + 0.5)
+    mu = v - n
+
+    out = np.empty_like(x)
+    for i, xi in enumerate(x.ravel()):
+        if xi <= 2.0:
+            # Temme series
+            xi = max(xi, 1e-300)
+            x2 = 0.5 * xi
+            pimu = math.pi * mu
+            fact = pimu / math.sin(pimu) if abs(pimu) > 1e-15 else 1.0
+            d = -math.log(x2)
+            e = mu * d
+            fact2 = math.sinh(e) / e if abs(e) > 1e-15 else 1.0
+            # gam1 = (1/G(1-mu) - 1/G(1+mu))/(2 mu), gam2 = (sum)/2
+            if abs(mu) > 1e-8:
+                rg_p = 1.0 / math.gamma(1.0 + mu)
+                rg_m = 1.0 / math.gamma(1.0 - mu)
+                gam1 = (rg_m - rg_p) / (2.0 * mu)
+                gam2 = (rg_m + rg_p) / 2.0
+            else:
+                g = 0.5772156649015329
+                gam1 = -g - (
+                    g**3 / 6.0 - g * math.pi**2 / 12.0 + 0.4006856343865314
+                ) * mu * mu
+                gam2 = 1.0 + (g * g - math.pi**2 / 6.0) / 2.0 * mu * mu
+            gampl = gam2 - mu * gam1
+            gammi = gam2 + mu * gam1
+            ff = fact * (gam1 * math.cosh(e) + gam2 * fact2 * d)
+            total = ff
+            ee = math.exp(e)
+            p = 0.5 * ee / gampl
+            q = 0.5 / (ee * gammi)
+            c = 1.0
+            d2 = x2 * x2
+            total1 = p
+            for it in range(1, 40):
+                fi = float(it)
+                ff = (fi * ff + p + q) / (fi * fi - mu * mu)
+                c = c * d2 / fi
+                p = p / (fi - mu)
+                q = q / (fi + mu)
+                total += c * ff
+                total1 += c * (p - fi * ff)
+                if abs(c * ff) < abs(total) * 1e-17:
+                    break
+            scale = math.exp(xi)
+            kmu = total * scale
+            kmu1 = total1 * (2.0 / xi) * scale
+        else:
+            # Steed CF2
+            b = 2.0 * (1.0 + xi)
+            d = 1.0 / b
+            h = delh = d
+            a1 = 0.25 - mu * mu
+            q = a1
+            a = -a1
+            s = 1.0 + q * delh
+            u = 0.0
+            w = a1
+            for it in range(2, 200):
+                fi = float(it)
+                a -= 2.0 * (fi - 1.0)
+                contrib = -(u - b * w) / fi
+                q += contrib
+                u = -a * w / fi
+                w = contrib
+                b += 2.0
+                d = 1.0 / (b + a * d)
+                delh = (b * d - 1.0) * delh
+                h += delh
+                s += q * delh
+                if abs(delh) < abs(h) * 1e-17:
+                    break
+            h = a1 * h
+            kmu = math.sqrt(math.pi / (2.0 * xi)) / s
+            kmu1 = kmu * (mu + xi + 0.5 - h) / xi
+        for j in range(1, n + 1):
+            kmu, kmu1 = kmu1, kmu + (2.0 * (mu + j) / max(xi, 1e-300)) * kmu1
+        out.ravel()[i] = kmu
+    return out
+
+
+def matern_nu_coeffs_host(nu: float, dtype=np.float32) -> np.ndarray:
+    """f64 host-side coefficient builder for a CONCRETE smoothness.
+
+    Serving builds its coefficients once from a plain-float trained ``nu``,
+    so there is no reason to pay the traced builder's dtype (under x64-off
+    jax the traced path computes in f32, costing ~1e-4 near-integer
+    accuracy and a 3e-3 clamp).  This pure-numpy mirror of
+    :func:`matern_nu_coeffs` runs in f64 with the 1e-7 clamp regardless of
+    jax configuration, then casts.  Layout: value + dt sets (no nu-tangent
+    sets — serving does not differentiate).
+    """
+    nu = float(nu)
+    n = math.floor(nu + 0.5)
+    mu = nu - n
+    clamp = 1e-7
+    if abs(mu) < clamp:
+        mu = clamp if mu >= 0.0 else -clamp
+    nu_eff = n + mu
+
+    ks = np.arange(1, KSM, dtype=np.float64)
+    prods = np.cumprod(mu + (n - ks))
+    sign = (-1.0) ** np.arange(1, KSM)
+    u = np.concatenate([[1.0], sign / (_FACT[1:] * prods)])
+
+    js = np.arange(KSM, dtype=np.float64)
+    log_mag = (
+        -math.lgamma(nu_eff)
+        - np.array([math.lgamma(j + 1.0 + nu_eff) for j in range(KSM)])
+        - _LOG_FACT
+    )
+    sin_pinu = ((-1.0) ** n) * math.sin(math.pi * mu)
+    q = -(math.pi / sin_pinu) * np.exp(log_mag)
+
+    idx = np.arange(KSM)
+    shifted = q[np.clip(idx - n, 0, KSM - 1)]
+    a = u + np.where(idx >= n, shifted, 0.0)
+
+    log_pref = (1.0 - nu_eff) * math.log(2.0) - math.lgamma(nu_eff)
+    g = (
+        log_pref
+        + nu_eff * np.log(_NODES_T)
+        + np.log(_kve_host(nu_eff, _NODES_T))
+    )
+    c = _CHEB_MAT @ g
+
+    kp = np.arange(1, KSM, dtype=np.float64)
+    ap = kp * a[1:]
+    bp = kp * q[1:]
+    d = np.zeros(NTAIL + 1)
+    for k in range(NTAIL - 1, 0, -1):
+        d[k - 1] = d[k + 1] + 2.0 * k * c[k]
+    d[0] *= 0.5
+    cp = d[:NTAIL]
+
+    scal = np.array(
+        [math.sqrt(2.0 * nu_eff), float(n), mu, 1.0, 0.5 / nu_eff]
+    )
+    return np.concatenate([scal, a, q, c, ap, bp, cp]).astype(dtype)
+
+
+def matern_gen_surrogate(dists, nu):
+    """XLA reference path through the same coefficients (conformance aid):
+    ``phi_nu(sqrt(2 nu) * dists)`` — semantically
+    :func:`muygpys_tpu.ops.kernels.matern_gen_fn`."""
+    co = matern_nu_coeffs(nu)
+    t = co[0] * dists
+    return matern_nu_eval(t, co)

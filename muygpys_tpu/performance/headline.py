@@ -360,7 +360,10 @@ def fused_train_loop(iters, interpret: bool = False):
     def loop(pw, cw, y, t):
         def body(i, carry):
             ls, noise, acc = carry
-            params = jnp.stack([ls, noise, noise])
+            # stored-noise slot pinned at the model's INITIAL noise, exactly
+            # like make_fused_train_objective configures the kernel (the
+            # reference's stored-noise sigma^2 quirk); cost is shape-only
+            params = jnp.stack([ls, noise, jnp.float32(NOISE)])
             stats = ft.fused_train_stats_bl(
                 pw, cw, y, params,
                 smoothness=SMOOTHNESS,
@@ -415,7 +418,7 @@ def xla_train_loop(iters):
         zc, zy = z[:, 0, :], z[:, 1, :]
         mean = jnp.einsum("nb,nb->b", zc, zy)[None]
         var = 1.0 - jnp.einsum("nb,nb->b", zc, zc)
-        s = jnp.sum(zy * zy) / (TRAIN_BATCH * NN)
+        s = jnp.sum(zy * zy) / zy.size  # traced (n, B) shape, not a global
         sv = jnp.maximum(s * var, 10.0 * jnp.finfo(jnp.float32).eps)
         e = mean - t
         return -(jnp.sum(e * e / sv[None]) + jnp.sum(jnp.log(sv)))

@@ -70,6 +70,13 @@ class FastServer:
         train_features / train_targets: the training set (univariate or
             multivariate targets).
         bucket: compiled request size; queries are padded up to it.
+            Geometry rule (``"pallas"``/``"fused"`` engines): the Pallas
+            batch tile is ``gcd(local_bucket, 512)`` where ``local_bucket``
+            is ``bucket / mesh_size`` under ``shard="queries"`` and
+            ``bucket`` otherwise — pick a bucket whose local share is a
+            multiple of 512 (single chip: any multiple of 512) or the
+            kernels silently run on smaller, slower tiles.  A tile below
+            256 emits a warning.
         engine: ``"lanes"`` | ``"pallas"`` | ``"fused"`` | ``"reference"``.
         measurement_noise: per-training-point noise variances
             ``(train_count,)`` — required when the model's noise is
@@ -250,6 +257,24 @@ class FastServer:
 
     # -- assembly + predict program (compiled once per bucket) --
 
+    @staticmethod
+    def _pallas_tile(local_bucket: int) -> int:
+        """Pallas batch tile: ``gcd(local_bucket, 512)``; warn when the
+        geometry quietly degrades (e.g. bucket 4096 on 24 devices -> local
+        bucket 170 -> tile 2)."""
+        tile = int(math.gcd(local_bucket, 512))
+        if tile < 256:
+            import warnings
+
+            warnings.warn(
+                f"FastServer bucket geometry: local bucket {local_bucket} "
+                f"gives a Pallas batch tile of {tile} (< 256); throughput "
+                "degrades on small tiles.  Choose a bucket whose per-device "
+                "share is a multiple of 512.",
+                stacklevel=3,
+            )
+        return tile
+
     def _kernel_eval(self, u):
         """Kernel value from length-scaled distances."""
         if self._is_rbf:
@@ -324,7 +349,7 @@ class FastServer:
 
             # under a mesh each device runs the chain on its local query
             # shard, so the Pallas batch tile divides the LOCAL bucket
-            tile = int(math.gcd(self._local_bucket, 512))
+            tile = self._pallas_tile(self._local_bucket)
             nu = "rbf" if self._is_rbf else self._nu
             params = jnp.concatenate(
                 [
@@ -432,7 +457,7 @@ class FastServer:
                     np.prod([self.mesh.shape[a] for a in axis_names])
                 )
                 local_q = self.bucket // n_dev
-                solve_tile = int(math.gcd(local_q, 512))
+                solve_tile = self._pallas_tile(local_q)
                 shard_rows = train.shape[0] // n_dev
                 use_kernel_local = shard_rows >= 1024
 
@@ -495,7 +520,7 @@ class FastServer:
                 fused_predict_coords_bl,
             )
 
-            tile = int(math.gcd(self._local_bucket, 512))
+            tile = self._pallas_tile(self._local_bucket)
             nu = "rbf" if self._is_rbf else self._nu
             params = jnp.concatenate(
                 [
