@@ -39,7 +39,7 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 PROBE_TIMEOUT_S = 480  # the probe compiles serve AND train loop programs
 
 
-def _pallas_available() -> "tuple[bool, bool]":
+def _pallas_available() -> dict:
     """Compile the Pallas loop programs in a subprocess with a timeout.
 
     A cache hit (persistent .jax_cache or the remote-compile service's own
@@ -47,11 +47,11 @@ def _pallas_available() -> "tuple[bool, bool]":
     and we don't gamble the bench run on it.  On success the caches are
     warm, so the in-process compiles below are fast either way.
 
-    Returns ``(serve_ok, train_ok)``: the serve programs compile first and
-    print ``PALLAS_OK``, then the train programs print ``PALLAS_TRAIN_OK``
-    — on a partial cache (serve warm, train cold) the timeout/nonzero-exit
-    paths still honor whatever markers made it to stdout, so a cold train
-    compile cannot demote the serve benchmark to the ~12x slower XLA path.
+    Returns a dict of flags {"serve", "serve_1m", "train", "train_gen"}:
+    the probe prints a marker after each program group compiles, and the
+    timeout/nonzero-exit paths honor whatever markers made it to stdout —
+    a cold compile of a LATER group cannot demote the earlier groups to
+    their ~12x slower XLA fallbacks.
     """
     code = (
         "import functools;"
@@ -64,9 +64,15 @@ def _pallas_available() -> "tuple[bool, bool]":
         "h.compile_loops("
         "functools.partial(h.end_to_end_loop, use_pallas=True, rerank=False),"
         "h.make_serve_inputs());"
-        "print('PALLAS_OK');"
+        "print('PALLAS_OK', flush=True);"
+        "h.compile_loops("
+        "functools.partial(h.end_to_end_loop, use_pallas=True, rerank=False),"
+        "h.make_serve_1m_inputs());"
+        "print('PALLAS_1M_OK', flush=True);"
         "h.compile_loops(h.fused_train_loop, h.make_train_inputs());"
-        "print('PALLAS_TRAIN_OK')"
+        "print('PALLAS_TRAIN_OK', flush=True);"
+        "h.compile_loops(h.fused_train_loop_gen, h.make_train_inputs());"
+        "print('PALLAS_TRAIN_GEN_OK', flush=True)"
     )
     env = dict(os.environ)
     env["PYTHONPATH"] = (
@@ -89,8 +95,7 @@ def _pallas_available() -> "tuple[bool, bool]":
                 f"stderr_tail={out.stderr[-2000:]!r}",
                 file=sys.stderr,
             )
-            return False, False
-        return True, "PALLAS_TRAIN_OK" in out.stdout
+        return _parse_markers(out.stdout)
     except subprocess.TimeoutExpired as exc:
         # partial progress still counts: capture_output pipes stdout into
         # the exception, so a warm serve cache is honored even when the
@@ -104,10 +109,19 @@ def _pallas_available() -> "tuple[bool, bool]":
             f"markers seen: {partial.strip()!r}",
             file=sys.stderr,
         )
-        return "PALLAS_OK" in partial, "PALLAS_TRAIN_OK" in partial
+        return _parse_markers(partial)
     except OSError as err:
         print(f"bench: pallas probe failed to spawn: {err}", file=sys.stderr)
-        return False, False
+        return _parse_markers("")
+
+
+def _parse_markers(stdout: str) -> dict:
+    return {
+        "serve": "PALLAS_OK" in stdout,
+        "serve_1m": "PALLAS_1M_OK" in stdout,
+        "train": "PALLAS_TRAIN_OK" in stdout,
+        "train_gen": "PALLAS_TRAIN_GEN_OK" in stdout,
+    }
 
 
 def main():
@@ -115,7 +129,9 @@ def main():
     # Probe BEFORE the parent touches JAX: the subprocess must also acquire
     # the accelerator to compile, which fails on runtimes with exclusive
     # device acquisition if the parent already holds it.
-    use_pallas, use_pallas_train = _pallas_available()
+    flags = _pallas_available()
+    use_pallas = flags["serve"]
+    use_pallas_train = flags["train"]
 
     from muygpys_tpu.performance import headline as h
 
@@ -153,6 +169,29 @@ def main():
     )
     train_steps_per_sec = 1.0 / train_step
 
+    # free-SMOOTHNESS training headline (r4): the signature model class —
+    # (length_scale, noise, nu) all free — via the traced-nu surrogate with
+    # analytic d/dnu rows in the fused kernel, or the exact-Bessel XLA
+    # value_and_grad fallback
+    train_gen_step = h.measure(
+        h.fused_train_loop_gen
+        if flags["train_gen"]
+        else h.xla_train_loop_gen,
+        h.make_train_inputs(),
+    )
+    train_gen_steps_per_sec = 1.0 / train_gen_step
+
+    # million-scale end-to-end serving (r3 VERDICT weak #5): the full
+    # chain over a 1M-row Morton-sorted table, 4096-query batches, pruned
+    # candidate kernel, rerank=False geometry
+    e2e_1m = h.measure(
+        functools.partial(
+            h.end_to_end_loop, use_pallas=flags["serve_1m"], rerank=False
+        ),
+        h.make_serve_1m_inputs(),
+    )
+    e2e_1m_per_sec = h.Q_1M / e2e_1m
+
     print(
         json.dumps(
             {
@@ -165,7 +204,16 @@ def main():
                     e2e_approx_per_sec, 1
                 ),
                 "end_to_end_train_count": h.TRAIN_COUNT,
+                "end_to_end_preds_per_sec_1m": round(e2e_1m_per_sec, 1),
                 "train_steps_per_sec": round(train_steps_per_sec, 1),
+                "train_steps_per_sec_gen": round(
+                    train_gen_steps_per_sec, 1
+                ),
+                "train_gen_engine": (
+                    "pallas-fused"
+                    if flags["train_gen"]
+                    else "xla-lanes-bessel"
+                ),
                 "train_batch": h.TRAIN_BATCH,
                 "train_engine": (
                     "pallas-fused" if use_pallas_train else "xla-lanes"

@@ -297,9 +297,9 @@ def Fused_Device_LBFGS_optimize(
     :func:`~muygpys_tpu.optimize.fused_chassis.Fused_L_BFGS_B_optimize`:
     ``"pallas"`` uses the fused value+analytic-gradient kernel
     (:mod:`muygpys_tpu.pallas.fused_train`) wrapped in ``jax.custom_vjp`` so
-    ``optax``'s line search can differentiate it; unsupported configurations
-    (free smoothness, anisotropy) fall back to the batched-Cholesky XLA
-    objective (``layout="batched"`` — the unrolled lanes jaxpr would blow up
+    ``optax``'s line search can differentiate it — including FREE smoothness
+    (traced-nu surrogate, analytic d/dnu rows); unsupported configurations
+    (anisotropy) fall back to the batched-Cholesky XLA objective (``layout="batched"`` — the unrolled lanes jaxpr would blow up
     while_loop compile time, so it stays in the host-loop chassis).
     """
     from muygpys_tpu.optimize.fast_objective import make_fast_loo_objective

@@ -11,8 +11,10 @@ PERF.md for the measured ladder).
     model = Fused_L_BFGS_B_optimize(model, bt, bnt, cw, pw, loss="lool")
 
 ``engine``:
-    "pallas" — fused kernel; falls back to "lanes" when the model needs a
-               capability the kernel doesn't lower (free smoothness).
+    "pallas" — fused kernel (incl. FREE smoothness via the traced-nu
+               surrogate with analytic d/dnu rows, r4); falls back to
+               "lanes" for capabilities the kernel doesn't lower
+               (anisotropy).
     "lanes"  — lane-layout XLA objective under jit(value_and_grad).
 """
 

@@ -31,8 +31,11 @@ recompile per newly trained model.
 
 Contractions are written as explicit multiply+sum over leading axes (Mosaic
 does not lower arbitrary dot_general layouts with the batch on the lane
-axis).  Supports Matern smoothness in {1/2, 3/2, 5/2, inf} and RBF (static)
-and multivariate targets ``y (n, r, B)``.
+axis).  Supports Matern smoothness in {1/2, 3/2, 5/2, inf} and RBF (static),
+GENERAL smoothness via ``smoothness="gen"`` plus a
+:mod:`muygpys_tpu.pallas.matern_nu` coefficient vector (an SMEM input, so
+one executable serves every smoothness of a given shape), and multivariate
+targets ``y (n, r, B)``.
 """
 
 from __future__ import annotations
@@ -49,7 +52,13 @@ _SQRT3 = 1.7320508075688772
 _SQRT5 = 2.23606797749979
 
 
-def _matern(d, smoothness):
+def _matern(d, smoothness, gen_ref=None):
+    if smoothness == "gen":
+        from muygpys_tpu.pallas.matern_nu import matern_nu_eval
+
+        # d is the ls-scaled l2 distance u; t = sqrt(2 nu) u with sqrt(2 nu)
+        # in the coefficient vector's slot 0
+        return matern_nu_eval(gen_ref[0] * d, gen_ref)
     if smoothness == 0.5:
         return jnp.exp(-d)
     if smoothness == 1.5:
@@ -102,8 +111,13 @@ def _solve_and_emit(K, kc, y, n, r, mean_ref, var_ref, work):
 
 def _kernel_body(
     smoothness, metric_power, params_ref, pw_ref, cw_ref, y_ref,
-    mean_ref, var_ref, work,
+    *rest,
 ):
+    if smoothness == "gen":
+        gen_ref, mean_ref, var_ref, work = rest
+    else:
+        gen_ref = None
+        mean_ref, var_ref, work = rest
     n = pw_ref.shape[0]
     r = y_ref.shape[1]
     ls = params_ref[0]
@@ -118,8 +132,8 @@ def _kernel_body(
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     eye = (row == col).astype(pw.dtype)[:, :, None]
 
-    K = _matern(pw * inv, smoothness) + noise * eye  # (n, n, TB)
-    kc = _matern(cw * inv, smoothness)  # (n, TB)
+    K = _matern(pw * inv, smoothness, gen_ref) + noise * eye  # (n, n, TB)
+    kc = _matern(cw * inv, smoothness, gen_ref)  # (n, TB)
     _solve_and_emit(K, kc, y, n, r, mean_ref, var_ref, work)
 
 
@@ -127,6 +141,10 @@ def _coords_body(
     smoothness, metric_power, d_feat, hetero,
     params_ref, nf_ref, q_ref, y_ref, *rest,
 ):
+    if smoothness == "gen":
+        gen_ref, rest = rest[0], rest[1:]
+    else:
+        gen_ref = None
     if hetero:
         eps_ref, mean_ref, var_ref, work = rest
     else:
@@ -161,12 +179,12 @@ def _coords_body(
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     eye = (row == col).astype(nf.dtype)[:, :, None]
 
-    K = _matern(u_p, smoothness)
+    K = _matern(u_p, smoothness, gen_ref)
     if hetero:
         K = K + eye * eps_ref[:][:, None, :]  # per-neighbor nugget (n, TB)
     else:
         K = K + params_ref[d_feat] * eye
-    kc = _matern(u_c, smoothness)
+    kc = _matern(u_c, smoothness, gen_ref)
     _solve_and_emit(K, kc, y, n, r, mean_ref, var_ref, work)
 
 
@@ -179,6 +197,7 @@ def fused_predict_bl(
     cw: jnp.ndarray,
     y: jnp.ndarray,
     params: jnp.ndarray,
+    gen_coeffs=None,
     smoothness=1.5,
     metric_power: int = 1,
     batch_tile: int = 256,
@@ -188,7 +207,10 @@ def fused_predict_bl(
     kernel.  ``pw (n, n, B)``, ``cw (n, B)``, ``y (n, B)`` or ``(n, r, B)``;
     ``params = [length_scale, noise]`` (traced — one executable serves every
     trained model).  B must be divisible by ``batch_tile``.  Unit prior
-    variance (Kout = 1).
+    variance (Kout = 1).  ``smoothness="gen"`` takes a
+    :func:`muygpys_tpu.pallas.matern_nu.matern_nu_coeffs` vector in
+    ``gen_coeffs`` (traced SMEM — any smoothness, one executable) and
+    requires ``metric_power == 1``.
 
     Returns mean ``(r, B)`` and variance ``(B,)``.
     """
@@ -200,25 +222,35 @@ def fused_predict_bl(
         raise ValueError(f"batch_tile {batch_tile} must divide batch {B}")
     grid = (B // batch_tile,)
     params = jnp.asarray(params, pw.dtype)
+    gen = smoothness == "gen"
+    if gen and gen_coeffs is None:
+        raise ValueError('smoothness="gen" requires gen_coeffs')
+    if gen and metric_power != 1:
+        raise ValueError('smoothness="gen" requires the l2 metric')
 
     kernel = functools.partial(_kernel_body, smoothness, metric_power)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # params (2,)
+        pl.BlockSpec(
+            (n, n, batch_tile), lambda i: (0, 0, i),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (n, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (n, r, batch_tile), lambda i: (0, 0, i),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    args = [params, pw, cw, y]
+    if gen:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(gen_coeffs, pw.dtype))
     mean, var = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # params (2,)
-            pl.BlockSpec(
-                (n, n, batch_tile), lambda i: (0, 0, i),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (n, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (n, r, batch_tile), lambda i: (0, 0, i),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(
                 (r, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -235,7 +267,7 @@ def fused_predict_bl(
             pltpu.VMEM((n, n + 1 + r, batch_tile), pw.dtype),
         ],
         interpret=interpret,
-    )(params, pw, cw, y)
+    )(*args)
     return mean, var[0]
 
 
@@ -249,6 +281,7 @@ def fused_predict_coords_bl(
     y: jnp.ndarray,
     params: jnp.ndarray,
     noise_nn=None,
+    gen_coeffs=None,
     smoothness=1.5,
     metric_power: int = 1,
     batch_tile: int = 512,
@@ -262,6 +295,10 @@ def fused_predict_coords_bl(
     length scale across features for isotropy), optional
     ``noise_nn (n, B)`` per-neighbor heteroscedastic nugget (replaces the
     scalar noise when given).  ``metric_power`` 1 = l2, 2 = F2.
+    ``smoothness="gen"`` takes a
+    :func:`muygpys_tpu.pallas.matern_nu.matern_nu_coeffs` vector in
+    ``gen_coeffs`` (traced SMEM scalars — any smoothness, one executable);
+    requires ``metric_power == 1``.
 
     HBM bytes per prediction: ``(nd + d + nr) * 4`` vs the distance kernel's
     ``(n^2 + n + nr) * 4`` — ~12x less at (n=30, d=2, r=1).
@@ -277,6 +314,11 @@ def fused_predict_coords_bl(
     grid = (B // batch_tile,)
     params = jnp.asarray(params, nf.dtype)
     hetero = noise_nn is not None
+    gen = smoothness == "gen"
+    if gen and gen_coeffs is None:
+        raise ValueError('smoothness="gen" requires gen_coeffs')
+    if gen and metric_power != 1:
+        raise ValueError('smoothness="gen" requires the l2 metric')
 
     kernel = functools.partial(
         _coords_body, smoothness, metric_power, d_feat, hetero
@@ -296,6 +338,9 @@ def fused_predict_coords_bl(
         ),
     ]
     args = [params, nf, q, y]
+    if gen:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(gen_coeffs, nf.dtype))
     if hetero:
         in_specs.append(
             pl.BlockSpec(

@@ -44,8 +44,26 @@ _SQRT3 = 1.7320508075688772
 _SQRT5 = 2.23606797749979
 
 
-def _kernel_and_deriv(u, smoothness):
-    """Returns (K(u), H(u) = u * dK/du) elementwise."""
+def _kernel_and_deriv(u, smoothness, gen_ref=None, need_dnu=False):
+    """Returns (K(u), H(u) = u * dK/du[, dK/dnu]) elementwise.
+
+    ``smoothness == "gen"`` evaluates the certified traced-nu surrogate
+    (:mod:`muygpys_tpu.pallas.matern_nu`): ``t = sqrt(2 nu) u`` with the
+    scale in ``gen_ref[0]``; the full dK/dnu at fixed u folds the argument
+    chain ``dt/dnu = t/(2 nu)`` (``gen_ref[4] = 1/(2 nu)``) into the
+    partial from the nu-tangent coefficient sets.
+    """
+    if smoothness == "gen":
+        from muygpys_tpu.pallas.matern_nu import matern_nu_eval
+
+        t = gen_ref[0] * u
+        out = matern_nu_eval(t, gen_ref, need_dt=True, need_dnu=need_dnu)
+        if need_dnu:
+            phi, dphi_dt, dnu_part = out
+            H = t * dphi_dt
+            return phi, H, dnu_part + gen_ref[4] * H
+        phi, dphi_dt = out
+        return phi, t * dphi_dt
     if smoothness == 0.5:
         e = jnp.exp(-u)
         return e, -u * e
@@ -131,9 +149,13 @@ def _matvec_bl(G, x, n):
 
 
 def _train_body(
-    smoothness, metric_power, noise_free, hetero,
+    smoothness, metric_power, noise_free, hetero, smoothness_free,
     params_ref, pw_ref, cw_ref, y_ref, *rest,
 ):
+    if smoothness == "gen":
+        gen_ref, rest = rest[0], rest[1:]
+    else:
+        gen_ref = None
     if hetero:
         eps_ref, out_ref = rest
     else:
@@ -151,8 +173,12 @@ def _train_body(
     inv = 1.0 / ls if metric_power == 1 else 1.0 / (ls * ls)
     u_p = pw * inv
     u_c = cw * inv
-    K, H = _kernel_and_deriv(u_p, smoothness)
-    kc, Hc = _kernel_and_deriv(u_c, smoothness)
+    if smoothness_free:
+        K, H, S = _kernel_and_deriv(u_p, smoothness, gen_ref, True)
+        kc, Hc, Sc = _kernel_and_deriv(u_c, smoothness, gen_ref, True)
+    else:
+        K, H = _kernel_and_deriv(u_p, smoothness, gen_ref)
+        kc, Hc = _kernel_and_deriv(u_c, smoothness, gen_ref)
     # dK/d ls = (-c/ls) * H(u)
     gcoef = -metric_power / ls
     G = gcoef * H  # (n, n, TB)
@@ -208,45 +234,65 @@ def _train_body(
     dmN = -jnp.sum(a[:, None, :] * b, axis=0)  # (r, TB)
     dvN = jnp.sum(a * a, axis=0)  # (TB,)
 
-    out_ref[:] = jnp.concatenate(
-        [
-            mean,  # rows 0..r-1
-            var[None, :],  # r
-            q[None, :],  # r+1
-            dmL,  # r+2 .. 2r+1
-            dvL[None, :],  # 2r+2
-            dqL[None, :],  # 2r+3
-            dmN,  # 2r+4 .. 3r+3
-            dvN[None, :],  # 3r+4
-        ],
-        axis=0,
-    )
+    rows = [
+        mean,  # rows 0..r-1
+        var[None, :],  # r
+        q[None, :],  # r+1
+        dmL,  # r+2 .. 2r+1
+        dvL[None, :],  # 2r+2
+        dqL[None, :],  # 2r+3
+        dmN,  # 2r+4 .. 3r+3
+        dvN[None, :],  # 3r+4
+    ]
+    if smoothness_free:
+        # smoothness derivative contractions: same algebra as length_scale
+        # with the elementwise dK/dnu fields S / Sc
+        wS = _matvec_bl(S, a, n)  # S a
+        dmS = (
+            jnp.sum(Sc[:, None, :] * b, axis=0)
+            - jnp.sum(wS[:, None, :] * b, axis=0)
+        )  # (r, TB)
+        dvS = -2.0 * jnp.sum(Sc * a, axis=0) + jnp.sum(wS * a, axis=0)
+        dqS = jnp.zeros_like(q)
+        for k in range(r):
+            w0 = _matvec_bl(S, b0[:, k, :], n)
+            dqS = dqS - jnp.sum(w0 * b0[:, k, :], axis=0)
+        rows += [dmS, dvS[None, :], dqS[None, :]]  # 3r+5 .. 4r+6
+    out_ref[:] = jnp.concatenate(rows, axis=0)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "smoothness", "metric_power", "noise_free", "batch_tile",
-        "interpret",
+        "smoothness", "metric_power", "noise_free", "smoothness_free",
+        "batch_tile", "interpret",
     ),
 )
 def fused_train_stats_bl(
     pw, cw, y, params,
     noise_nn=None,
+    gen_coeffs=None,
     smoothness=1.5,
     metric_power: int = 1,
     noise_free: bool = False,
+    smoothness_free: bool = False,
     batch_tile: int = 256,
     interpret: bool = False,
 ):
-    """Per-point LOO statistics + analytic derivative rows, (3r+5, B).
+    """Per-point LOO statistics + analytic derivative rows,
+    ``(3r+5, B)`` — or ``(4r+7, B)`` with ``smoothness_free`` (three extra
+    d/dnu rows).
 
     ``pw (n, n, B)``, ``cw (n, B)``, ``y (n, r, B)``;
     ``params = [length_scale, noise, stored_noise]`` (traced, so one
     compiled executable serves every optimizer step).  Optional
     ``noise_nn (n, B)`` per-neighbor heteroscedastic nugget replaces the
     scalar noise on the diagonal (and cannot be a free parameter, so
-    ``noise_free`` must be False with it).
+    ``noise_free`` must be False with it).  ``smoothness="gen"`` takes a
+    :func:`muygpys_tpu.pallas.matern_nu.matern_nu_coeffs` vector (built
+    with ``need_dnu=True`` when ``smoothness_free``) in ``gen_coeffs`` —
+    traced SMEM, so the smoothness rides the SAME executable across
+    optimizer steps.
     """
     n, _, B = pw.shape
     r = y.shape[1]
@@ -257,10 +303,21 @@ def fused_train_stats_bl(
         raise ValueError(
             "heteroscedastic nugget tensors are never free parameters"
         )
-    C = 3 * r + 5
+    gen = smoothness == "gen"
+    if gen and gen_coeffs is None:
+        raise ValueError('smoothness="gen" requires gen_coeffs')
+    if smoothness_free and not gen:
+        raise ValueError(
+            'smoothness_free requires smoothness="gen" (closed forms are '
+            "fixed-order by construction)"
+        )
+    if gen and metric_power != 1:
+        raise ValueError('smoothness="gen" requires the l2 metric')
+    C = (4 * r + 7) if smoothness_free else (3 * r + 5)
     grid = (B // batch_tile,)
     kernel = functools.partial(
-        _train_body, smoothness, metric_power, noise_free, hetero
+        _train_body, smoothness, metric_power, noise_free, hetero,
+        smoothness_free,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # params (3,)
@@ -277,6 +334,9 @@ def fused_train_stats_bl(
         ),
     ]
     args = [params, pw, cw, y]
+    if gen:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(gen_coeffs, pw.dtype))
     if hetero:
         in_specs.append(
             pl.BlockSpec(
@@ -308,6 +368,11 @@ def _epilogue(stats, t_bl, loss, free_names, n):
     dqL = stats[2 * r + 3]
     dmN = stats[2 * r + 4:3 * r + 4]
     dvN = stats[3 * r + 4]
+    smoothness_free = "smoothness" in free_names
+    if smoothness_free:
+        dmS = stats[3 * r + 5:4 * r + 5]
+        dvS = stats[4 * r + 5]
+        dqS = stats[4 * r + 6]
 
     e = mean - t_bl  # (r, B)
     grads = {}
@@ -317,6 +382,8 @@ def _epilogue(stats, t_bl, loss, free_names, n):
             grads["length_scale"] = -2.0 * jnp.sum(e * dmL) / t_bl.size
         if "noise" in free_names:
             grads["noise"] = -2.0 * jnp.sum(e * dmN) / t_bl.size
+        if smoothness_free:
+            grads["smoothness"] = -2.0 * jnp.sum(e * dmS) / t_bl.size
         return value, grads
 
     s = jnp.sum(q) / (B * n)  # analytic sigma^2 (global)
@@ -342,6 +409,9 @@ def _epilogue(stats, t_bl, loss, free_names, n):
     if "noise" in free_names:
         # d sigma^2 / d noise == 0 under the stored-noise quirk
         grads["noise"] = -dlool(dmN, dvN, jnp.zeros((), var.dtype))
+    if smoothness_free:
+        dsS = jnp.sum(dqS) / (B * n)
+        grads["smoothness"] = -dlool(dmS, dvS, dsS)
     return value, grads
 
 
@@ -355,9 +425,10 @@ def make_fused_train_objective(
 
     Same model restrictions as
     :func:`muygpys_tpu.optimize.fast_objective.make_fast_loo_objective`
-    minus free smoothness and anisotropy (falls back there): Matern (fixed
-    nu in {1/2,3/2,5/2,inf}) or RBF, Isotropy, homoscedastic OR
-    heteroscedastic noise, lool/mse.
+    minus anisotropy (falls back there): Matern — fixed OR FREE smoothness
+    (free/general nu rides the certified traced-nu surrogate with analytic
+    d/dnu rows; nu bounds must stay inside [0.05, 10]) — or RBF, Isotropy,
+    homoscedastic OR heteroscedastic noise, lool/mse.
 
     Returns (value_and_grad_fn, free_param_names) where
     ``value_and_grad_fn(params_dict) -> (objective, grads_dict)`` with the
@@ -387,21 +458,39 @@ def make_fused_train_objective(
     if metric_name not in ("l2", "F2"):
         raise ValueError(f"unsupported metric {metric_name!r}")
     metric_power = 1 if metric_name == "l2" else 2
+    from muygpys_tpu.pallas.matern_nu import (
+        NU_MAX,
+        NU_MIN,
+        matern_nu_coeffs,
+    )
+
+    names, _, _ = muygps.get_opt_params()
+    smoothness_free = False
+    nu0 = None
     if isinstance(kernel, RBF):
         smoothness = "rbf"
     else:
-        if not kernel.smoothness.fixed():
-            raise ValueError(
-                "free smoothness requires the XLA fast objective "
-                "(general-nu Bessel does not lower in the Pallas kernel)"
-            )
-        smoothness = float(kernel.smoothness())
-        if smoothness not in (0.5, 1.5, 2.5, math.inf):
-            raise ValueError(
-                f"fixed smoothness {smoothness} has no closed form"
-            )
-
-    names, _, _ = muygps.get_opt_params()
+        nu0 = float(kernel.smoothness())
+        smoothness_free = not kernel.smoothness.fixed()
+        if smoothness_free:
+            lo, hi = kernel.smoothness.get_bounds()
+            if not (NU_MIN <= lo and hi <= NU_MAX):
+                raise ValueError(
+                    f"free smoothness bounds ({lo}, {hi}) exceed the "
+                    f"certified surrogate domain [{NU_MIN}, {NU_MAX}]"
+                )
+            smoothness = "gen"
+        elif nu0 in (0.5, 1.5, 2.5, math.inf):
+            smoothness = nu0
+        else:
+            if not (NU_MIN <= nu0 <= NU_MAX):
+                raise ValueError(
+                    f"fixed smoothness {nu0} outside the certified "
+                    f"surrogate domain [{NU_MIN}, {NU_MAX}]"
+                )
+            smoothness = "gen"
+    if metric_name != "l2" and smoothness == "gen":
+        raise ValueError("general-smoothness Matern requires the l2 metric")
     if is_hetero:
         noise_free = False
         noise0 = 0.0
@@ -427,16 +516,31 @@ def make_fused_train_objective(
     tile = min(batch_tile, B)
     while B % tile != 0:
         tile //= 2
-    free_names = tuple(nm for nm in names if nm in ("length_scale", "noise"))
+    free_names = tuple(
+        nm for nm in names
+        if nm in ("length_scale", "noise", "smoothness")
+    )
+    gen = smoothness == "gen"
 
     @functools.partial(jax.jit, static_argnames=())
     def _vag(params_arr):
+        if gen:
+            # coefficient build is O(10^2) scalars per step — the whole
+            # nu-dependence of the kernel, traced so ONE executable serves
+            # every proposal
+            gen_co = matern_nu_coeffs(
+                params_arr[3], need_dnu=smoothness_free
+            ).astype(pw_bl.dtype)
+        else:
+            gen_co = None
         stats = fused_train_stats_bl(
-            pw_bl, cw_bl, y_bl, params_arr,
+            pw_bl, cw_bl, y_bl, params_arr[:3],
             noise_nn=noise_nn,
+            gen_coeffs=gen_co,
             smoothness=smoothness,
             metric_power=metric_power,
             noise_free=noise_free,
+            smoothness_free=smoothness_free,
             batch_tile=tile,
             interpret=interpret,
         )
@@ -445,7 +549,8 @@ def make_fused_train_objective(
     def value_and_grad_fn(params):
         ls = params.get("length_scale", ls0)
         noise = params.get("noise", noise0)
-        arr = jnp.asarray([ls, noise, noise0], pw_bl.dtype)
+        nu = params.get("smoothness", 1.5 if nu0 is None else nu0)
+        arr = jnp.asarray([ls, noise, noise0, nu], pw_bl.dtype)
         return _vag(arr)
 
     return value_and_grad_fn, list(names)

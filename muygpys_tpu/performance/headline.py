@@ -448,6 +448,149 @@ def xla_train_loop(iters):
     return loop
 
 
+NU0_GEN = 1.2  # free-smoothness trajectory start (away from closed forms)
+
+
+def fused_train_loop_gen(iters, interpret: bool = False):
+    """Free-SMOOTHNESS whole-trajectory loop (r4): one fused LOO
+    value+analytic-grad step over (length_scale, noise, smoothness) and a
+    clipped ascent update per iteration, in ONE jitted program.  The
+    per-step traced-nu coefficient build (:mod:`muygpys_tpu.pallas.
+    matern_nu`, ~10^2 scalars) rides inside the loop; the kernel emits the
+    analytic d/dnu rows.  This is the library's signature model class
+    (reference trains nu in its headline tutorial) at fused-kernel speed."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from muygpys_tpu.pallas import fused_train as ft
+    from muygpys_tpu.pallas.matern_nu import matern_nu_coeffs
+
+    free = ("length_scale", "noise", "smoothness")
+    tile = min(TRAIN_TILE, TRAIN_BATCH)
+
+    @jax.jit
+    def loop(pw, cw, y, t):
+        def body(i, carry):
+            ls, noise, nu, acc = carry
+            co = matern_nu_coeffs(nu, need_dnu=True)
+            params = jnp.stack([ls, noise, jnp.float32(NOISE)])
+            stats = ft.fused_train_stats_bl(
+                pw, cw, y, params,
+                gen_coeffs=co,
+                smoothness="gen",
+                metric_power=1,
+                noise_free=True,
+                smoothness_free=True,
+                batch_tile=tile,
+                interpret=interpret,
+            )
+            value, grads = ft._epilogue(stats, t, "lool", free, NN)
+            ls = ls + TRAIN_LR * jnp.clip(grads["length_scale"], -1.0, 1.0)
+            noise = jnp.maximum(
+                noise + TRAIN_LR * jnp.clip(grads["noise"], -1.0, 1.0),
+                jnp.float32(1e-6),
+            )
+            nu = jnp.clip(
+                nu + TRAIN_LR * jnp.clip(grads["smoothness"], -1.0, 1.0),
+                jnp.float32(0.31),
+                jnp.float32(5.0),
+            )
+            return ls, noise, nu, acc + value
+
+        init = (
+            jnp.asarray(LENGTH_SCALE, jnp.float32),
+            jnp.asarray(NOISE, jnp.float32),
+            jnp.asarray(NU0_GEN, jnp.float32),
+            jnp.asarray(0.0, jnp.float32),
+        )
+        ls, noise, nu, acc = lax.fori_loop(0, iters, body, init)
+        return acc + ls + noise + nu
+
+    return loop
+
+
+def xla_train_loop_gen(iters):
+    """Free-smoothness trajectory via the XLA lane-layout objective with
+    the EXACT Bessel path (jit(value_and_grad) through ops.bessel.kve and
+    its analytic d/dnu JVP) — the honest non-Pallas baseline for
+    ``train_steps_per_sec_gen``."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from muygpys_tpu.ops.kernels import matern_gen_fn
+    from muygpys_tpu.ops.lanes_solver import cholesky_bl, tri_solve_fwd_bl
+
+    eye_bl = jnp.eye(NN, dtype=jnp.float32)[:, :, None]
+
+    def objective(ls, noise, nu, pw, cw, y, t):
+        Kin = matern_gen_fn(pw / ls, nu) + noise * eye_bl
+        Kc = matern_gen_fn(cw / ls, nu)
+        rhs = jnp.concatenate([Kc[:, None, :], y], axis=1)
+        z = tri_solve_fwd_bl(cholesky_bl(Kin), rhs)
+        zc, zy = z[:, 0, :], z[:, 1, :]
+        mean = jnp.einsum("nb,nb->b", zc, zy)[None]
+        var = 1.0 - jnp.einsum("nb,nb->b", zc, zc)
+        s = jnp.sum(zy * zy) / zy.size
+        sv = jnp.maximum(s * var, 10.0 * jnp.finfo(jnp.float32).eps)
+        e = mean - t
+        return -(jnp.sum(e * e / sv[None]) + jnp.sum(jnp.log(sv)))
+
+    vag = jax.value_and_grad(objective, argnums=(0, 1, 2))
+
+    @jax.jit
+    def loop(pw, cw, y, t):
+        def body(i, carry):
+            ls, noise, nu, acc = carry
+            value, (gl, gn, gs) = vag(ls, noise, nu, pw, cw, y, t)
+            ls = ls + TRAIN_LR * jnp.clip(gl, -1.0, 1.0)
+            noise = jnp.maximum(
+                noise + TRAIN_LR * jnp.clip(gn, -1.0, 1.0),
+                jnp.float32(1e-6),
+            )
+            nu = jnp.clip(
+                nu + TRAIN_LR * jnp.clip(gs, -1.0, 1.0),
+                jnp.float32(0.31),
+                jnp.float32(5.0),
+            )
+            return ls, noise, nu, acc + value
+
+        init = (
+            jnp.asarray(LENGTH_SCALE, jnp.float32),
+            jnp.asarray(NOISE, jnp.float32),
+            jnp.asarray(NU0_GEN, jnp.float32),
+            jnp.asarray(0.0, jnp.float32),
+        )
+        ls, noise, nu, acc = lax.fori_loop(0, iters, body, init)
+        return acc + ls + noise + nu
+
+    return loop
+
+
+TRAIN_COUNT_1M = 1_000_000
+Q_1M = 4096
+
+
+def make_serve_1m_inputs():
+    """Million-row Morton-sorted training table + 4096-query batch — the
+    train-shard-regime single-chip baseline (PERF.md r3)."""
+    import jax.numpy as jnp
+
+    from muygpys_tpu.pallas.knn import spatial_sort
+
+    rng = np.random.default_rng(4)
+    train = rng.uniform(size=(TRAIN_COUNT_1M, D_FEAT)).astype(np.float32)
+    train = train[np.asarray(spatial_sort(train))]
+    targets = rng.standard_normal((TRAIN_COUNT_1M, 1)).astype(np.float32)
+    queries = rng.uniform(size=(Q_1M, D_FEAT))
+    return (
+        jnp.asarray(train, jnp.float32),
+        jnp.asarray(targets, jnp.float32),
+        jnp.asarray(queries, jnp.float32),
+    )
+
+
 def compile_loops(loop_factory, inputs):
     """Compile + run the 1-iter and N-iter programs (host-synced)."""
     loop1, loopN = loop_factory(1), loop_factory(ITERS + 1)

@@ -12,8 +12,11 @@ object.  Engines:
   streams neighbor coordinates, computes distances in VMEM (~n/d x less HBM
   traffic than a distance-tensor kernel), and takes the trained
   hyperparameters as traced SMEM scalars so ONE cached executable serves
-  every trained model of a given shape.  Requires Matern nu in
-  {1/2, 3/2, 5/2, inf} or RBF.
+  every trained model of a given shape.  Any Matern smoothness nu in
+  [0.05, 10] (closed forms for 1/2, 3/2, 5/2, inf; the certified
+  :mod:`muygpys_tpu.pallas.matern_nu` surrogate otherwise — free/general
+  smoothness models, the library's signature class, serve at full speed)
+  and RBF.
 - ``"fused"``: everything on device in ONE compiled program per bucket —
   Pallas KNN candidate kernel (:mod:`muygpys_tpu.pallas.knn`) over the
   training set, a single gather of a packed ``[features | targets
@@ -244,10 +247,18 @@ class FastServer:
         self._metric_power = 2 if deformation.metric.name == "F2" else 1
         if engine in ("pallas", "fused"):
             if not self._is_rbf and self._nu not in _CLOSED_FORM_NU:
-                raise ValueError(
-                    f"{engine} engine supports Matern nu in "
-                    "{0.5, 1.5, 2.5, inf} and RBF"
-                )
+                from muygpys_tpu.pallas.matern_nu import NU_MAX, NU_MIN
+
+                if not (NU_MIN <= self._nu <= NU_MAX):
+                    raise ValueError(
+                        f"{engine} engine serves general Matern smoothness "
+                        f"in [{NU_MIN}, {NU_MAX}]; got {self._nu} (use the "
+                        "lanes engine for exotic orders)"
+                    )
+                if self._metric_power != 1:
+                    raise ValueError(
+                        "general-smoothness Matern requires the l2 metric"
+                    )
         if engine == "reference" and self._measurement_noise is not None:
             raise ValueError(
                 "the reference engine serves homoscedastic models only"
@@ -256,6 +267,24 @@ class FastServer:
         self._predict_fn = self._build()
 
     # -- assembly + predict program (compiled once per bucket) --
+
+    def _kernel_smoothness(self, dtype):
+        """(smoothness arg, gen-coefficient vector) for the Pallas kernels.
+
+        Closed-form orders compile their formula in; any other smoothness
+        ships as a host-built f64 coefficient vector (SMEM input), so ONE
+        cached executable still serves every general-smoothness model of a
+        given shape."""
+        if self._is_rbf:
+            return "rbf", None
+        if self._nu in _CLOSED_FORM_NU:
+            return self._nu, None
+        from muygpys_tpu.pallas.matern_nu import matern_nu_coeffs_host
+
+        np_dtype = np.float64 if dtype == jnp.float64 else np.float32
+        return "gen", jnp.asarray(
+            matern_nu_coeffs_host(self._nu, np_dtype)
+        )
 
     @staticmethod
     def _pallas_tile(local_bucket: int) -> int:
@@ -350,7 +379,8 @@ class FastServer:
             # under a mesh each device runs the chain on its local query
             # shard, so the Pallas batch tile divides the LOCAL bucket
             tile = self._pallas_tile(self._local_bucket)
-            nu = "rbf" if self._is_rbf else self._nu
+            nu, gen_co = self._kernel_smoothness(train.dtype)
+            interp = jax.default_backend() == "cpu"
             params = jnp.concatenate(
                 [
                     jnp.asarray(self._ls_vec, train.dtype),
@@ -412,6 +442,11 @@ class FastServer:
             knn_kwargs = (
                 {} if rerank else {"bins": 256, "query_tile": 256}
             )
+            # Mosaic kernels do not lower on the CPU backend: interpret
+            # mode is the only execution path there (virtual-mesh dryruns,
+            # CPU CI) and is semantics-identical
+            if jax.default_backend() == "cpu":
+                knn_kwargs["interpret"] = True
             knn_fn = knn_pallas_pruned if spatial else knn_pallas
 
             def core(queries, table, train):
@@ -441,9 +476,11 @@ class FastServer:
                 mean, var = fused_predict_coords_bl(
                     nf, queries.T, y, params,
                     noise_nn=noise_nn,
+                    gen_coeffs=gen_co,
                     smoothness=nu,
                     metric_power=metric_power,
                     batch_tile=tile,
+                    interpret=interp,
                 )
                 return mean.T, scale * var  # (B, r), (B,)
 
@@ -460,6 +497,15 @@ class FastServer:
                 solve_tile = self._pallas_tile(local_q)
                 shard_rows = train.shape[0] // n_dev
                 use_kernel_local = shard_rows >= 1024
+                # per-shard candidate count cannot exceed the shard size
+                # (tiny dryrun shards); the union merge still needs
+                # nn_count total candidates across devices
+                cand_count = min(cand_count, shard_rows)
+                if n_dev * cand_count < nn_count:
+                    raise ValueError(
+                        f"{n_dev} shards x {cand_count} candidates cannot "
+                        f"cover nn_count={nn_count}"
+                    )
 
                 def core(queries, table, train):
                     # 1. candidates over the LOCAL train shard, all queries
@@ -509,9 +555,11 @@ class FastServer:
                     mean, var = fused_predict_coords_bl(
                         nf, q_l.T, y, params,
                         noise_nn=noise_nn,
+                        gen_coeffs=gen_co,
                         smoothness=nu,
                         metric_power=metric_power,
                         batch_tile=solve_tile,
+                        interpret=interp,
                     )
                     return mean.T, scale * var  # local (B/n_dev, r) slice
 
@@ -521,7 +569,8 @@ class FastServer:
             )
 
             tile = self._pallas_tile(self._local_bucket)
-            nu = "rbf" if self._is_rbf else self._nu
+            nu, gen_co = self._kernel_smoothness(train.dtype)
+            interp = jax.default_backend() == "cpu"
             params = jnp.concatenate(
                 [
                     jnp.asarray(self._ls_vec, train.dtype),
@@ -538,9 +587,11 @@ class FastServer:
                 mean, var = fused_predict_coords_bl(
                     nf, q, y, params,
                     noise_nn=noise_nn,
+                    gen_coeffs=gen_co,
                     smoothness=nu,
                     metric_power=metric_power,
                     batch_tile=tile,
+                    interpret=interp,
                 )
                 return mean.T, scale * var  # (B, r), (B,)
 

@@ -52,9 +52,24 @@ def main():
         f"{time.perf_counter() - t0:.1f}s", flush=True,
     )
     t0 = time.perf_counter()
+    h.compile_loops(
+        functools.partial(h.end_to_end_loop, use_pallas=True, rerank=False),
+        h.make_serve_1m_inputs(),
+    )
+    print(
+        f"million-scale end-to-end loop programs compiled in "
+        f"{time.perf_counter() - t0:.1f}s", flush=True,
+    )
+    t0 = time.perf_counter()
     h.compile_loops(h.fused_train_loop, h.make_train_inputs())
     print(
         f"fused train loop programs compiled in "
+        f"{time.perf_counter() - t0:.1f}s", flush=True,
+    )
+    t0 = time.perf_counter()
+    h.compile_loops(h.fused_train_loop_gen, h.make_train_inputs())
+    print(
+        f"free-smoothness fused train loop programs compiled in "
         f"{time.perf_counter() - t0:.1f}s", flush=True,
     )
     t0 = time.perf_counter()

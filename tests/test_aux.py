@@ -306,6 +306,40 @@ class TestBenchmarkHarness:
         a3 = float(np.asarray(h.xla_train_loop(3)(*inputs)))
         assert np.isfinite(a3)
 
+    @pytest.mark.slow  # ~6 min of compiles (kve value_and_grad + gen kernel)
+    def test_bench_train_gen_producers_agree(self, monkeypatch):
+        """bench.py's train_steps_per_sec_gen producers (r4): the
+        free-smoothness fused loop (traced-nu surrogate, interpret mode)
+        and the exact-Bessel XLA fallback compute the same initial LOO
+        objective and finite 3-step trajectories."""
+        from muygpys_tpu.performance import headline as h
+
+        monkeypatch.setattr(h, "TRAIN_BATCH", 64)
+        inputs = h.make_train_inputs()
+        a1 = float(np.asarray(h.xla_train_loop_gen(1)(*inputs)))
+        b1 = float(
+            np.asarray(h.fused_train_loop_gen(1, interpret=True)(*inputs))
+        )
+        assert np.isfinite(a1) and np.isfinite(b1)
+        assert abs(a1 - b1) <= 1e-2 * max(1.0, abs(a1))
+        a3 = float(np.asarray(h.xla_train_loop_gen(3)(*inputs)))
+        b3 = float(
+            np.asarray(h.fused_train_loop_gen(3, interpret=True)(*inputs))
+        )
+        assert np.isfinite(a3) and np.isfinite(b3)
+
+    def test_bench_1m_inputs_shape(self, monkeypatch):
+        """make_serve_1m_inputs: correct shapes at a scaled-down size (the
+        real 1M build is bench-only)."""
+        from muygpys_tpu.performance import headline as h
+
+        monkeypatch.setattr(h, "TRAIN_COUNT_1M", 4096)
+        monkeypatch.setattr(h, "Q_1M", 64)
+        train, targets, queries = h.make_serve_1m_inputs()
+        assert train.shape == (4096, h.D_FEAT)
+        assert targets.shape == (4096, 1)
+        assert queries.shape == (64, h.D_FEAT)
+
 
 class TestConfig:
     def test_parse_flags(self):

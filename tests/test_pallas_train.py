@@ -102,15 +102,17 @@ def test_value_and_grad_conformance_fast(
 
 def test_rejects_unsupported_models(rng):
     model, t, y, cw, pw = _problem(rng, 1.5, False, False)
-    free_nu = MuyGPS(
+    # free smoothness is SUPPORTED since r4 — only bounds outside the
+    # certified surrogate domain reject
+    wild_nu = MuyGPS(
         kernel=Matern(
-            smoothness=Parameter(1.0, (0.2, 3.0)),
+            smoothness=Parameter(1.0, (0.2, 30.0)),
             deformation=Isotropy(l2, length_scale=Parameter(0.4)),
         ),
         noise=HomoscedasticNoise(1e-3),
     )
-    with pytest.raises(ValueError, match="free smoothness"):
-        make_fused_train_objective(free_nu, t, y, cw, pw)
+    with pytest.raises(ValueError, match="certified surrogate domain"):
+        make_fused_train_objective(wild_nu, t, y, cw, pw)
     aniso = MuyGPS(
         kernel=Matern(
             smoothness=Parameter(1.5),
@@ -161,20 +163,71 @@ def test_fused_chassis_matches_generic(rng):
         )
 
 
-@pytest.mark.slow
-def test_fused_chassis_falls_back_on_free_smoothness(rng):
-    from muygpys_tpu.optimize import Fused_L_BFGS_B_optimize
-
-    _, t, y, cw, pw = _problem(rng, 1.5, False, False)
+def test_general_nu_conformance(rng):
+    """Fixed non-closed-form and FREE smoothness ride the fused kernel via
+    the traced-nu surrogate; value AND all gradients (incl. the analytic
+    d/dnu rows) must match jax.value_and_grad of the exact-Bessel XLA
+    objective (r3 VERDICT item 1)."""
+    _, t, y, cw, pw = _problem(rng, 1.5, True, False)
     model = MuyGPS(
         kernel=Matern(
-            smoothness=Parameter(1.0, (0.2, 3.0)),
+            smoothness=Parameter(1.37, (0.3, 5.0)),
             deformation=Isotropy(l2, length_scale=Parameter(0.4, (0.01, 5.0))),
         ),
-        noise=HomoscedasticNoise(1e-3),
+        noise=HomoscedasticNoise(1e-3, (1e-6, 1e-1)),
+        scale=AnalyticScale(),
     )
-    opt = Fused_L_BFGS_B_optimize(model, t, y, cw, pw, engine="pallas")
-    assert np.isfinite(float(opt.kernel.smoothness()))
+    for loss in ("lool", "mse"):
+        ref_obj, _ = make_fast_loo_objective(model, t, y, cw, pw, loss=loss)
+        vag, names = make_fused_train_objective(
+            model, t, y, cw, pw, loss=loss, interpret=True
+        )
+        assert "smoothness" in names
+        params = {"length_scale": 0.33, "noise": 2e-3, "smoothness": 1.81}
+        v_ref, g_ref = jax.value_and_grad(lambda p: ref_obj(p))(
+            {k: jnp.asarray(v) for k, v in params.items()}
+        )
+        v, g = vag(params)
+        np.testing.assert_allclose(float(v), float(v_ref), rtol=1e-7)
+        for name in params:
+            np.testing.assert_allclose(
+                float(g[name]), float(g_ref[name]), rtol=1e-5,
+                err_msg=f"{loss}/{name}",
+            )
+
+
+@pytest.mark.slow
+def test_fused_chassis_trains_free_smoothness(rng):
+    """The pallas engine now trains free-nu models directly (no lanes
+    fallback): same optimum as the exact-gradient generic chassis."""
+    from muygpys_tpu.optimize import Fused_L_BFGS_B_optimize, L_BFGS_B_optimize, lool_fn
+
+    _, t, y, cw, pw = _problem(rng, 1.5, False, False)
+    def fresh():
+        return MuyGPS(
+            kernel=Matern(
+                smoothness=Parameter(1.0, (0.2, 3.0)),
+                deformation=Isotropy(
+                    l2, length_scale=Parameter(0.4, (0.01, 5.0))
+                ),
+            ),
+            noise=HomoscedasticNoise(1e-3),
+            scale=AnalyticScale(),
+        )
+    ref = L_BFGS_B_optimize(fresh(), t, y, cw, pw, loss_fn=lool_fn)
+    opt = Fused_L_BFGS_B_optimize(
+        fresh(), t, y, cw, pw, engine="pallas", interpret=True
+    )
+    np.testing.assert_allclose(
+        float(opt.kernel.smoothness()),
+        float(ref.kernel.smoothness()),
+        rtol=5e-3,
+    )
+    np.testing.assert_allclose(
+        float(opt.kernel.deformation.length_scale()),
+        float(ref.kernel.deformation.length_scale()),
+        rtol=5e-3,
+    )
 
 
 def test_heteroscedastic_conformance(rng):
