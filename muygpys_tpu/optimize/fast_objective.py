@@ -64,6 +64,7 @@ def make_fast_loo_objective(
     loss: str = "lool",
     layout: str = "lanes",
     boundary_scale: float = 3.0,
+    batch_features=None,
 ) -> Tuple[Callable, list]:
     """Build ``obj_fn(params_dict) -> -loss`` in lane layout.
 
@@ -76,6 +77,11 @@ def make_fast_loo_objective(
             ``make_train_tensors`` for the model's deformation — distances
             ``(B, n)`` / ``(B, n, n)`` for Isotropy, per-feature differences
             ``(B, n, d)`` / ``(B, n, n, d)`` for Anisotropy.
+        batch_features: ``(B, f)`` batch coordinates — required when the
+            deformation's length scale is a hierarchical (nonstationary)
+            parameter (reference ``experimental/hierarchical.py:110-124``);
+            the per-batch ls field is re-solved from the knot values at
+            every objective evaluation, under jit+grad.
         layout: ``"lanes"`` (default) assembles in the batch-on-lanes
             ``(n, n, B)`` layout with the unrolled
             :mod:`~muygpys_tpu.ops.lanes_solver` — fastest per evaluation,
@@ -115,6 +121,18 @@ def make_fast_loo_objective(
     if loss not in ("lool", "mse", "looph"):
         raise ValueError(
             f"fast objective supports lool/mse/looph, not {loss!r}"
+        )
+
+    from muygpys_tpu.gp.hyperparameter.experimental import (
+        NamedHierarchicalParameter,
+    )
+
+    is_hier = not is_aniso and isinstance(
+        kernel.deformation.length_scale, NamedHierarchicalParameter
+    )
+    if is_hier and batch_features is None:
+        raise ValueError(
+            "hierarchical (nonstationary) length scales need batch_features"
         )
 
     metric_name = kernel.deformation.metric.name
@@ -183,6 +201,31 @@ def make_fast_loo_objective(
             if metric_name == "l2":
                 return safe_sqrt(u_p), safe_sqrt(u_c)
             return u_p, u_c
+
+    elif is_hier:
+        hier = kernel.deformation.length_scale
+        hname = hier.name()
+        bf = jnp.asarray(batch_features)
+        if batched:
+            pw_bl = jnp.asarray(pairwise_dists)  # (B, n, n)
+            cw_bl = jnp.asarray(crosswise_dists)  # (B, n)
+            B, n = pw_bl.shape[0], pw_bl.shape[1]
+        else:
+            pw_bl = jnp.transpose(jnp.asarray(pairwise_dists), (1, 2, 0))
+            cw_bl = jnp.transpose(jnp.asarray(crosswise_dists), (1, 0))
+            n, _, B = pw_bl.shape
+        apply_ls = kernel.deformation.metric.apply_length_scale
+
+        def scaled_dists(params):
+            knots = {
+                k: v for k, v in params.items() if k.startswith(hname)
+            }
+            ls_b = hier(bf, **knots)  # (B,) nonstationary field
+            if batched:
+                lp, lc = ls_b[:, None, None], ls_b[:, None]
+            else:
+                lp, lc = ls_b[None, None, :], ls_b[None, :]
+            return apply_ls(pw_bl, lp), apply_ls(cw_bl, lc)
 
     else:
         if batched:

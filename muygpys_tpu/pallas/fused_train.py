@@ -513,7 +513,9 @@ def make_fused_train_objective(
     t_bl = jnp.transpose(t, (1, 0))
 
     n, _, B = pw_bl.shape
-    tile = min(batch_tile, B)
+    # the gen path's extra VMEM fields (surrogate temporaries, d/dnu
+    # operands) overflow the 16M scoped budget at the default 256 tile
+    tile = min(batch_tile if smoothness != "gen" else 128, B)
     while B % tile != 0:
         tile //= 2
     free_names = tuple(

@@ -467,7 +467,10 @@ def fused_train_loop_gen(iters, interpret: bool = False):
     from muygpys_tpu.pallas.matern_nu import matern_nu_coeffs
 
     free = ("length_scale", "noise", "smoothness")
-    tile = min(TRAIN_TILE, TRAIN_BATCH)
+    # half the fixed-nu tile: the gen kernel's extra elementwise fields
+    # (surrogate Horner temporaries + the d/dnu contraction operands)
+    # overflow the 16M VMEM budget at TB=256 (measured 17.34M on v5e)
+    tile = min(128, TRAIN_BATCH)
 
     @jax.jit
     def loop(pw, cw, y, t):

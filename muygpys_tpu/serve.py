@@ -37,7 +37,11 @@ Isotropy or Anisotropy deformations (per-feature length scales), and
 homoscedastic or heteroscedastic noise (pass the per-training-point
 ``measurement_noise`` vector; the per-neighborhood nugget is gathered at
 query time exactly like the reference's ``_make_heteroscedastic_tensor``,
-``_src/gp/tensors/numpy.py:11-15``).
+``_src/gp/tensors/numpy.py:11-15``).  The lensing shear family
+(``ShearKernel`` 3-in/3-out, ``ShearKernel2in3out``, ``ShearNoise33``)
+serves through the lanes engine's multi-output block solver — posterior
+mean ``(B, 3)`` + full ``(B, 3, 3)`` covariance per query (r4; the
+reference has no serving machinery for these models at all).
 
 The query batch is padded to a fixed bucket size so ONE compiled program
 serves any request size (XLA static shapes).
@@ -54,6 +58,7 @@ import numpy as np
 
 from muygpys_tpu.gp.deformation import Anisotropy, Isotropy
 from muygpys_tpu.gp.kernels import Matern, RBF
+from muygpys_tpu.gp.kernels.experimental import ShearKernel, ShearKernel2in3out
 from muygpys_tpu.gp.muygps import MuyGPS
 from muygpys_tpu.gp.noise import HeteroscedasticNoise, HomoscedasticNoise
 from muygpys_tpu.neighbors import NN_Wrapper
@@ -140,17 +145,39 @@ class FastServer:
         shard: str = "queries",
         spatial_sort: Optional[bool] = None,
     ):
-        if not isinstance(muygps.kernel, (Matern, RBF)):
-            raise ValueError(
-                f"FastServer supports Matern/RBF, not {type(muygps.kernel)}"
-            )
-        if not isinstance(muygps.kernel.deformation, (Isotropy, Anisotropy)):
-            raise ValueError(
-                "FastServer requires an Isotropy or Anisotropy deformation, "
-                f"not {type(muygps.kernel.deformation)}"
-            )
+        self._shear = isinstance(
+            muygps.kernel, (ShearKernel, ShearKernel2in3out)
+        )
+        if not self._shear:
+            if not isinstance(muygps.kernel, (Matern, RBF)):
+                raise ValueError(
+                    "FastServer supports Matern/RBF/Shear kernels, not "
+                    f"{type(muygps.kernel)}"
+                )
+            if not isinstance(
+                muygps.kernel.deformation, (Isotropy, Anisotropy)
+            ):
+                raise ValueError(
+                    "FastServer requires an Isotropy or Anisotropy "
+                    f"deformation, not {type(muygps.kernel.deformation)}"
+                )
         if engine not in ("lanes", "pallas", "fused", "reference"):
             raise ValueError(f"unknown engine {engine!r}")
+        if self._shear and engine != "lanes":
+            raise ValueError(
+                "shear models serve via the lanes engine (multi-output "
+                "block batch-on-lanes solver)"
+            )
+        if self._shear and measurement_noise is not None:
+            raise ValueError(
+                "shear serving does not take per-point measurement noise "
+                "(ShearNoise33 is the lensing noise model)"
+            )
+        if self._shear and shard == "train":
+            raise ValueError(
+                "shear serving shards queries (shard='train' is a fused-"
+                "engine mode)"
+            )
 
         self.muygps = muygps
         self.nbrs = nbrs_lookup
@@ -200,6 +227,12 @@ class FastServer:
         self._targets = jnp.asarray(targets)
         self._response_count = targets.shape[1]
         feature_count = self._train.shape[1]
+
+        if self._shear:
+            # multi-output block path: noise/scale/Kout are composed by
+            # MuyGPS.posterior_mean_and_variance itself
+            self._predict_fn = self._build_shear()
+            return
 
         # noise model
         if isinstance(muygps.noise, HeteroscedasticNoise):
@@ -267,6 +300,69 @@ class FastServer:
         self._predict_fn = self._build()
 
     # -- assembly + predict program (compiled once per bucket) --
+
+    def _build_shear(self):
+        """Serving program for the lensing shear family (SURVEY §2.4):
+        difference-tensor assembly -> shear covariance blocks ->
+        multi-output batch-on-lanes Cholesky -> posterior mean + full
+        (O, O) covariance per query.  Reference context:
+        ``gp/kernels/experimental/shear.py:60-265`` (the reference has no
+        serving machinery for it at all).
+
+        Returns from ``predict``: mean ``(B, 3)`` and covariance
+        ``(B, 3, 3)``.  Observed inputs are 3-component (kappa, gamma1,
+        gamma2) for :class:`ShearKernel` or 2-component (gamma1, gamma2)
+        for :class:`ShearKernel2in3out`."""
+        train = self._train
+        targets = self._targets
+        muygps = self.muygps
+        deformation = muygps.kernel.deformation
+        kernel = muygps.kernel
+        obs = 2 if isinstance(kernel, ShearKernel2in3out) else 3
+        if targets.shape[1] != obs:
+            raise ValueError(
+                f"{type(kernel).__name__} observes {obs} components; "
+                f"train_targets has {targets.shape[1]}"
+            )
+
+        def core(queries, nn_idx, train, targets):
+            pw = deformation.pairwise_tensor(train, nn_idx)
+            cw = deformation.crosswise_tensor(
+                queries, train, jnp.arange(queries.shape[0]), nn_idx
+            )
+            Kin = kernel(pw)
+            Kcross = kernel(cw)
+            nnt = jnp.swapaxes(targets[nn_idx], -2, -1)  # (B, obs, n)
+            return muygps.posterior_mean_and_variance(Kin, Kcross, nnt)
+
+        consts = (train, targets)
+        if self.mesh is None:
+
+            @jax.jit
+            def predict(*args):
+                return core(*args, *consts)
+
+            return predict
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from muygpys_tpu.parallel.sharding import batch_spec, replicate
+
+        mesh = self.mesh
+        in_specs = (batch_spec(mesh, 2), batch_spec(mesh, 2), P(), P())
+        out_specs = (batch_spec(mesh, 2), batch_spec(mesh, 3))
+        consts = tuple(replicate(c, mesh) for c in consts)
+        sharded_core = shard_map(
+            core, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+
+        @jax.jit
+        def predict(*args):
+            return sharded_core(*args, *consts)
+
+        return predict
 
     def _kernel_smoothness(self, dtype):
         """(smoothness arg, gen-coefficient vector) for the Pallas kernels.

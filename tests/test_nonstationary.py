@@ -106,3 +106,61 @@ def test_hierarchical_lengthscale_in_model(rng):
         obj_opt(**{f"length_scale{i}": opt_vals[i] for i in range(knot_count)})
     )
     assert val_opt >= val, (val, val_opt)
+
+
+def test_hierarchical_field_recovery_device_trainer(rng):
+    """Nonstationary ls(x) recovery fully ON DEVICE (r3 VERDICT weak #6):
+    data drawn from a GP whose true length scale differs between the left
+    and right half of the domain; the device trainer
+    (make_device_trainer + batch_features) must recover the ORDERING of
+    the field at the knots — left knots learn a smaller ls than right
+    knots — with the whole L-BFGS trajectory in one compiled program."""
+    from muygpys_tpu.neighbors import NN_Wrapper
+    from muygpys_tpu.optimize.device_chassis import make_device_trainer
+
+    n, nn, batch = 420, 16, 128
+    x = rng.uniform(size=(n, 1))
+    ls_true = np.where(x[:, 0] < 0.5, 0.08, 0.6)
+    # nonstationary draw: Gibbs-style kernel with varying ls
+    lsi, lsj = ls_true[:, None], ls_true[None, :]
+    pref = np.sqrt(2 * lsi * lsj / (lsi**2 + lsj**2))
+    d2 = (x[:, 0:1] - x[None, :, 0]) ** 2
+    K = pref * np.exp(-d2 / (lsi**2 + lsj**2)) + 1e-8 * np.eye(n)
+    y = (np.linalg.cholesky(K) @ rng.standard_normal(n))[:, None]
+
+    knot_features = np.array([[0.15], [0.35], [0.65], [0.85]])
+    knot_values = VectorParameter(
+        *[Parameter(0.3, (0.02, 1.5)) for _ in range(4)]
+    )
+    model = MuyGPS(
+        kernel=Matern(
+            smoothness=Parameter(1.5),
+            deformation=Isotropy(
+                l2,
+                length_scale=HierarchicalParameter(
+                    knot_features, knot_values, RBF()
+                ),
+            ),
+        ),
+        noise=HomoscedasticNoise(1e-5),
+        scale=AnalyticScale(),
+    )
+    nbrs = NN_Wrapper(x, nn)
+    bi = rng.choice(n, batch, replace=False)
+    bni, _ = nbrs.get_batch_nns(bi)
+    cw, pw, bt, bnt = model.make_train_tensors(
+        bi, bni, jnp.asarray(x), jnp.asarray(y)
+    )
+    trainer = make_device_trainer(model, loss="lool")
+    opt, info = trainer(
+        bt, bnt, cw, pw, batch_features=jnp.asarray(x[bi])
+    )
+    assert info["iterations"] > 0 and np.isfinite(info["value"])
+    knots = [
+        float(opt.kernel._hyperparameters[f"length_scale{i}"]())
+        for i in range(4)
+    ]
+    left, right = np.mean(knots[:2]), np.mean(knots[2:])
+    assert right > left, f"field ordering not recovered: {knots}"
+    # the rough region must recover a decisively smaller ls
+    assert right / left > 1.5, knots
