@@ -13,6 +13,7 @@ from muygpys_tpu.parallel.sharding import (
     shard,
     shard_batch,
     shard_batch_global,
+    shard_ragged_global,
     shard_global,
     shard_ragged,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "sharded_knn",
     "shard_batch",
     "shard_batch_global",
+    "shard_ragged_global",
     "shard_global",
     "shard_ragged",
 ]

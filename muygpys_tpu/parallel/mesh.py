@@ -125,15 +125,20 @@ def local_chunk_slice(global_count: int, mesh: Mesh) -> slice:
     """The rows of a globally-sharded batch owned by THIS process.
 
     Multi-host programs construct ``jax.Array``s from per-host shards
-    (``jax.make_array_from_process_local_data``); this is the analogue of the
-    reference's ``_get_chunk_sizes`` (``_src/mpi_utils.py:36-41``) row
-    arithmetic, for even chunks.
+    (``jax.make_array_from_process_local_data``); this is the analogue of
+    the reference's ``_get_chunk_sizes`` (``_src/mpi_utils.py:36-41``) row
+    arithmetic.  XLA needs device-even shards, so a count that does not
+    divide the device count must go through
+    :func:`muygpys_tpu.parallel.sharding.shard_ragged_global` (pad + 0/1
+    row weights — the reference's uneven chunks, with the extra rows
+    existing everywhere but counting nowhere).
     """
     n_proc = jax.process_count()
-    if global_count % n_proc != 0:
+    if global_count % jax.device_count() != 0:
         raise ValueError(
-            f"batch {global_count} must divide process count {n_proc}; "
-            "use sharding.even_batch or pad"
+            f"batch {global_count} must divide the device count "
+            f"{jax.device_count()}; use sharding.shard_ragged_global "
+            "(pads with edge rows and returns 0/1 row weights)"
         )
     per = global_count // n_proc
     rank = jax.process_index()

@@ -128,6 +128,35 @@ def shard_batch_global(tensors, mesh: Mesh, axis_name: Optional[str] = None):
     return type(tensors)(shard_global(t, mesh, axis_name) for t in tensors)
 
 
+def shard_ragged_global(
+    tensors, mesh: Mesh, axis_name: Optional[str] = None
+):
+    """Multi-process :func:`shard_ragged`: any global batch size.
+
+    The reference's ``_get_chunk_sizes`` hands uneven chunks to MPI ranks
+    (``_src/mpi_utils.py:36-41``); XLA needs device-even shards, so here
+    every tensor's leading axis is padded up to a device-count multiple
+    with copies of its last row and a 0/1 ``row_weights`` vector makes the
+    padding semantically absent (every loss and the analytic scale weight
+    by it).  Each process contributes only its own chunk of the PADDED
+    layout.  Returns ``(padded_sharded_tensors, sharded_row_weights)``.
+    """
+    batch = int(np.asarray(tensors[0]).shape[0])
+    n = mesh.devices.size
+    padded = -(-batch // n) * n
+    pad = padded - batch
+
+    def pad_one(t):
+        t = np.asarray(t)
+        if pad:
+            t = np.concatenate([t] + [t[-1:]] * pad, axis=0)
+        return shard_global(t, mesh, axis_name)
+
+    out = type(tensors)(pad_one(t) for t in tensors)
+    weights = (np.arange(padded) < batch).astype(np.float64)
+    return out, shard_global(weights, mesh, axis_name)
+
+
 def gather_global(x) -> np.ndarray:
     """Materialize a (possibly sharded) array on the host — the analogue of
     the reference's test-only allgather (``_consistent_unchunk_tensor``)."""

@@ -6,7 +6,7 @@ a fixed seed — the JAX analogue of the reference broadcasting sampled state
 import numpy as np
 
 
-def build_problem():
+def build_problem(batch=64):
     import jax.numpy as jnp
 
     from muygpys_tpu.gp import MuyGPS
@@ -16,7 +16,7 @@ def build_problem():
     from muygpys_tpu.gp.noise import HomoscedasticNoise
 
     rng = np.random.default_rng(1234)
-    train_count, batch, nn = 256, 64, 10
+    train_count, nn = 256, 10
     xtr = rng.uniform(size=(train_count, 2))
     ytr = rng.standard_normal((train_count, 1))
     bi = rng.choice(train_count, batch, replace=False)

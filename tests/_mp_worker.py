@@ -92,9 +92,31 @@ def main() -> None:
 
     mean_sum, var_sum, scale = predict_sums(cw, pw, bnt)
 
+    # ragged global batch (61 rows over 8 devices / 2 processes — the
+    # reference's _get_chunk_sizes semantics, _src/mpi_utils.py:36-41):
+    # shard_ragged_global pads to the device multiple with edge rows and a
+    # 0/1 weight vector; each process contributes only its own chunk
+    from muygpys_tpu.parallel import shard_ragged_global
+
+    _, rtensors = build_problem(batch=61)
+    (rcw, rpw, rbt, rbnt), rw = shard_ragged_global(rtensors, mesh)
+
+    def dict_obj_w(p, cw, pw, bt, bnt, w):
+        obj_fn = L_BFGS_B_optimize.make_obj_fn(
+            model, bt, bnt, cw, pw, loss_fn=lool_fn,
+            loss_kwargs={"row_weights": w},
+        )
+        return obj_fn(**p)
+
+    rval, rgrads = jax.jit(jax.value_and_grad(dict_obj_w))(
+        {"length_scale": 0.7, "noise": 2e-3}, rcw, rpw, rbt, rbnt, rw
+    )
+
     out = {
         "process": pid,
         "obj": float(val),
+        "obj_ragged": float(rval),
+        "grad_ls_ragged": float(rgrads["length_scale"]),
         "grad_length_scale": float(grads["length_scale"]),
         "grad_noise": float(grads["noise"]),
         "mean_sum": float(mean_sum),

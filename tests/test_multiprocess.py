@@ -97,12 +97,21 @@ def _serial_oracle():
     val, grads = jax.jit(jax.value_and_grad(lambda p: obj_fn(**p)))(
         {"length_scale": 0.7, "noise": 2e-3}
     )
+    _, (rcw, rpw, rbt, rbnt) = build_problem(batch=61)
+    robj_fn = L_BFGS_B_optimize.make_obj_fn(
+        model, rbt, rbnt, rcw, rpw, loss_fn=lool_fn
+    )
+    rval, rgrads = jax.jit(jax.value_and_grad(lambda p: robj_fn(**p)))(
+        {"length_scale": 0.7, "noise": 2e-3}
+    )
     Kin = model.kernel(pw)
     Kcross = model.kernel(cw)
     mean, var = model.posterior_mean_and_variance(Kin, Kcross, bnt)
     scale = model.scale.get_opt_fn(model)(Kin, bnt)
     return {
         "obj": float(val),
+        "obj_ragged": float(rval),
+        "grad_ls_ragged": float(rgrads["length_scale"]),
         "grad_length_scale": float(grads["length_scale"]),
         "grad_noise": float(grads["noise"]),
         "mean_sum": float(jnp.sum(mean)),
