@@ -38,3 +38,20 @@ def test_tutorial_runs(doc, tmp_path, monkeypatch):
             raise AssertionError(
                 f"{doc.name} block {i} failed: {type(e).__name__}: {e}"
             ) from e
+
+
+def test_api_docs_current():
+    """docs/api/ is generated (scripts/gen_api_docs.py) and committed; this
+    re-generates in a temp dir and diffs, so the reference can never go
+    stale (the CI ``docs`` group runs the same check)."""
+    import subprocess
+    import sys
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "gen_api_docs.py"),
+         "--check"],
+        capture_output=True, text=True, timeout=280,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
