@@ -123,3 +123,84 @@ def test_stargal_style_classification(stargal, rng):
         np.mean(np.argmax(preds, axis=1) == np.argmax(yte, axis=1))
     )
     assert acc >= STARGAL_TARGET_ACC, f"accuracy={acc}"
+
+
+# ---- real-data bars (run only when the reference's data/ is mounted) ----
+
+def _have_real_data() -> bool:
+    import os
+
+    from muygpys_tpu._test import real_data
+
+    return os.path.isdir(real_data.data_dir())
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not _have_real_data(),
+    reason="real datasets not mounted (set MUYGPYS_DATA_DIR)",
+)
+def test_heaton_real_regression(rng):
+    """The reference's ACTUAL Heaton bar (tests/api/regress.py:193,207)
+    on the real pickle, when mounted."""
+    from muygpys_tpu._test.real_data import load_heaton
+    from muygpys_tpu.examples.regress import do_regress
+
+    try:
+        xtr, ytr, xte, yte = load_heaton()
+    except FileNotFoundError as err:
+        pytest.skip(str(err))
+    model, nbrs, mean, variance = do_regress(
+        xte, xtr, ytr[:, None],
+        nn_count=30,
+        batch_count=500,
+        k_kwargs={
+            "kernel": Matern(
+                smoothness=Parameter(1.5),
+                deformation=Isotropy(
+                    l2, length_scale=Parameter(1.0, (0.01, 10.0))
+                ),
+            ),
+            "noise": HomoscedasticNoise(1e-2, (1e-5, 1e-1)),
+            "scale": AnalyticScale(),
+        },
+        opt_kwargs={"init_points": 3, "n_iter": 8, "random_state": 0},
+        rng=rng,
+    )
+    mse = float(np.mean((np.asarray(mean).reshape(-1) - yte) ** 2))
+    assert mse <= HEATON_TARGET_MSE, mse
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not _have_real_data(),
+    reason="real datasets not mounted (set MUYGPYS_DATA_DIR)",
+)
+def test_stargal_real_surrogate_mse(rng):
+    """The reference's ACTUAL star-gal multivariate surrogate bar
+    (tests/api/regress.py:87,114) on the real embedded-40 pickle."""
+    from muygpys_tpu._test.real_data import load_stargal_embedded
+    from muygpys_tpu.examples.regress import do_regress
+
+    try:
+        xtr, ytr, xte, yte = load_stargal_embedded(40)
+    except FileNotFoundError as err:
+        pytest.skip(str(err))
+    model, nbrs, mean, variance = do_regress(
+        xte, xtr, ytr,
+        nn_count=30,
+        batch_count=500,
+        k_kwargs={
+            "kernel": RBF(
+                deformation=Isotropy(
+                    F2, length_scale=Parameter(1.5, (0.05, 20.0))
+                )
+            ),
+            "noise": HomoscedasticNoise(1e-2, (1e-5, 1e-1)),
+            "scale": AnalyticScale(),
+        },
+        opt_kwargs={"init_points": 3, "n_iter": 8, "random_state": 0},
+        rng=rng,
+    )
+    mse = float(np.mean((np.asarray(mean) - yte) ** 2))
+    assert mse <= STARGAL_TARGET_MSE, mse
