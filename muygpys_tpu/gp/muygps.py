@@ -151,9 +151,12 @@ class MuyGPS:
     def get_opt_var_fn(self) -> Callable:
         return self._var_fn.get_opt_fn()
 
-    def optimize_scale(self, pairwise_diffs, nn_targets) -> "MuyGPS":
-        """Set sigma^2 using the scale functor's optimization method."""
-        Kin = self.kernel(pairwise_diffs)
+    def optimize_scale(self, pairwise_diffs, nn_targets, **kwargs) -> "MuyGPS":
+        """Set sigma^2 using the scale functor's optimization method.
+
+        Hierarchical (nonstationary) kernels need ``batch_features=``
+        forwarded to the kernel evaluation."""
+        Kin = self.kernel(pairwise_diffs, **kwargs)
         opt_fn = self.scale.get_opt_fn(self)
         self.scale._set(opt_fn(Kin, nn_targets))
         self._make()

@@ -61,6 +61,14 @@ def optimize_from_tensors_mini_batch(
     single compiled-program launch (~150 ms on chip at B=512, n=30);
     ``keep_state=True`` warm-starts each epoch from the previous optimum.
 
+    ``batch_features``: pass any non-None value to train hierarchical
+    (nonstationary) parameters — the per-epoch batch features are derived
+    internally as ``train_features[batch_indices]`` (batches are resampled
+    every epoch, so a caller-supplied static array cannot stay aligned;
+    the reference's mini-batch chassis has the same latent mismatch,
+    reference ``optimize/experimental/chassis.py:46-319``).  Works with
+    BOTH engines since r4.
+
     Returns (optimized model, final nbrs_lookup, exec time, probe count,
     total optimization steps).
     """
@@ -106,11 +114,6 @@ def optimize_from_tensors_mini_batch(
                 f"engine='device-lbfgs' supports lool/mse/looph, not "
                 f"{loss_name}; use engine='bayes'"
             )
-        if batch_features is not None:
-            raise ValueError(
-                "engine='device-lbfgs' does not take batch_features "
-                "(hierarchical parameters); use engine='bayes'"
-            )
         trainer = make_device_trainer(
             muygps, loss=loss_name, verbose=verbose
         )
@@ -130,9 +133,15 @@ def optimize_from_tensors_mini_batch(
         batch_pairwise, batch_nn_targets = pairwise, nn_targets
 
         if engine == "device-lbfgs":
+            epoch_bf = (
+                None
+                if batch_features is None
+                else jnp.asarray(train_features)[batch_indices]
+            )
             trained, info = trainer(
                 batch_targets, nn_targets, crosswise, pairwise,
                 z_init=trainer_z if keep_state else None,
+                batch_features=epoch_bf,
             )
             if keep_state:
                 trainer_z = info["z"]
@@ -167,7 +176,12 @@ def optimize_from_tensors_mini_batch(
 
         obj_fn = Bayes_optimize.make_obj_fn(
             muygps, batch_targets, nn_targets, crosswise, pairwise,
-            batch_features=batch_features, loss_fn=loss_fn,
+            batch_features=(
+                None
+                if batch_features is None
+                else jnp.asarray(train_features)[batch_indices]
+            ),
+            loss_fn=loss_fn,
             loss_kwargs=loss_kwargs or dict(),
         )
 
@@ -224,7 +238,14 @@ def optimize_from_tensors_mini_batch(
         best_params if engine == "device-lbfgs" else optimizer.max["params"]
     )
     new_muygps = _new_muygps(muygps, x0_names, bounds, final_params)
-    new_muygps = new_muygps.optimize_scale(batch_pairwise, batch_nn_targets)
+    scale_kwargs = {}
+    if batch_features is not None and batch_indices is not None:
+        scale_kwargs["batch_features"] = jnp.asarray(train_features)[
+            batch_indices
+        ]
+    new_muygps = new_muygps.optimize_scale(
+        batch_pairwise, batch_nn_targets, **scale_kwargs
+    )
     return (
         new_muygps,
         nbrs_lookup,

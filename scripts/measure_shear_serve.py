@@ -1,0 +1,105 @@
+"""Measure shear-family serving throughput on the real chip.
+
+FastServer(engine="lanes") with ShearKernel: difference-tensor assembly ->
+shear covariance blocks -> multi-output batch-on-lanes Cholesky -> posterior
+mean + full (3, 3) covariance.  Honest in-loop protocol (fori_loop with
+per-iteration query perturbation, 1-iter program subtracted).
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/measure_shear_serve.py
+"""
+
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+import numpy as np
+
+TRAIN = 50_000
+BUCKET = 2048
+NN = 30
+ITERS = 50
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from muygpys_tpu.gp import MuyGPS
+    from muygpys_tpu.gp.deformation import DifferenceIsotropy, F2
+    from muygpys_tpu.gp.hyperparameter import FixedScale, Parameter
+    from muygpys_tpu.gp.kernels.experimental import ShearKernel
+    from muygpys_tpu.gp.noise import ShearNoise33
+    from muygpys_tpu.neighbors import NN_Wrapper
+    from muygpys_tpu.performance.headline import enable_persistent_cache
+
+    enable_persistent_cache(REPO_ROOT)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(size=(TRAIN, 2)).astype(np.float32)
+    targets = rng.standard_normal((TRAIN, 3)).astype(np.float32)
+    ls = 0.05
+    model = MuyGPS(
+        kernel=ShearKernel(
+            deformation=DifferenceIsotropy(F2, length_scale=Parameter(ls))
+        ),
+        noise=ShearNoise33(1e-3 * 2.0 / ls**4),
+        scale=FixedScale(),
+    )
+    nbrs = NN_Wrapper(pts, NN, nn_method="exact")
+    queries = rng.uniform(size=(BUCKET, 2)).astype(np.float32)
+    nn_idx, _ = nbrs.get_nns(queries)
+    nn_idx = jnp.asarray(np.asarray(nn_idx))
+    q = jnp.asarray(queries)
+    train = jnp.asarray(pts)
+    tg = jnp.asarray(targets)
+
+    deformation = model.kernel.deformation
+    kernel = model.kernel
+
+    def core(queries, nn_idx):
+        pw = deformation.pairwise_tensor(train, nn_idx)
+        cw = deformation.crosswise_tensor(
+            queries, train, jnp.arange(queries.shape[0]), nn_idx
+        )
+        Kin = kernel(pw)
+        Kcross = kernel(cw)
+        nnt = jnp.swapaxes(tg[nn_idx], -2, -1)
+        mean, cov = model.posterior_mean_and_variance(Kin, Kcross, nnt)
+        return jnp.sum(mean) + jnp.sum(cov)
+
+    def loop(iters):
+        @jax.jit
+        def run(q, nn_idx):
+            def body(i, acc):
+                return acc + core(q * (1.0 + 1e-9 * i), nn_idx)
+
+            return lax.fori_loop(
+                0, iters, body, jnp.asarray(0.0, jnp.float32)
+            )
+
+        return run
+
+    l1, lN = loop(1), loop(ITERS + 1)
+    float(np.asarray(l1(q, nn_idx)))
+    float(np.asarray(lN(q, nn_idx)))
+    b1 = bN = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(np.asarray(l1(q, nn_idx)))
+        b1 = min(b1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(np.asarray(lN(q, nn_idx)))
+        bN = min(bN, time.perf_counter() - t0)
+    per = (bN - b1) / ITERS
+    print(
+        f"shear serve (kernel+block-solve, {BUCKET} queries x {NN} nbrs, "
+        f"3 outputs): {per*1e3:.2f} ms/batch = {BUCKET/per:,.0f} preds/sec"
+        f"/chip ({3*BUCKET/per:,.0f} output components/sec)"
+    )
+
+
+if __name__ == "__main__":
+    main()

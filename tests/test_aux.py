@@ -108,6 +108,53 @@ class TestMiniBatch:
                 loss_fn=pseudo_huber_fn, rng=rng,
             )
 
+    def test_device_engine_hierarchical(self, rng):
+        """engine='device-lbfgs' trains hierarchical (nonstationary) length
+        scales (r4): per-epoch batch features derive internally; knot
+        values move and stay in bounds."""
+        from muygpys_tpu.gp.hyperparameter.experimental import (
+            HierarchicalParameter,
+        )
+        from muygpys_tpu.gp.kernels import RBF
+
+        rng2 = np.random.default_rng(3)
+        xtr = rng2.uniform(size=(300, 1))
+        ytr = np.sin(8.0 * xtr[:, 0])[:, None] + 0.05 * rng2.standard_normal(
+            (300, 1)
+        )
+        knots = np.array([[0.25], [0.75]])
+        model = MuyGPS(
+            kernel=Matern(
+                smoothness=Parameter(1.5),
+                deformation=Isotropy(
+                    l2,
+                    length_scale=HierarchicalParameter(
+                        knots,
+                        VectorParameter(
+                            Parameter(0.3, (0.02, 1.0)),
+                            Parameter(0.3, (0.02, 1.0)),
+                        ),
+                        RBF(),
+                    ),
+                ),
+            ),
+            noise=HomoscedasticNoise(1e-3),
+            scale=AnalyticScale(),
+        )
+        opt, nbrs, _, _, steps = optimize_from_tensors_mini_batch(
+            model, jnp.asarray(xtr), jnp.asarray(ytr),
+            nn_count=12, batch_count=96, train_count=300,
+            num_epochs=2, engine="device-lbfgs",
+            batch_features=True, rng=rng,
+        )
+        vals = [
+            float(opt.kernel._hyperparameters[f"length_scale{i}"]())
+            for i in range(2)
+        ]
+        assert steps >= 2
+        assert all(0.02 <= v <= 1.0 for v in vals)
+        assert any(abs(v - 0.3) > 1e-5 for v in vals), vals
+
     def test_anisotropic_rebuild(self, rng):
         from muygpys_tpu._test.sampler import UnivariateSampler2D
 
