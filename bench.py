@@ -72,7 +72,9 @@ def _pallas_available() -> dict:
         "h.compile_loops(h.fused_train_loop, h.make_train_inputs());"
         "print('PALLAS_TRAIN_OK', flush=True);"
         "h.compile_loops(h.fused_train_loop_gen, h.make_train_inputs());"
-        "print('PALLAS_TRAIN_GEN_OK', flush=True)"
+        "print('PALLAS_TRAIN_GEN_OK', flush=True);"
+        "h.compile_loops(h.pallas_coords_gen_loop, h.make_coords_inputs());"
+        "print('PALLAS_SERVE_GEN_OK', flush=True)"
     )
     env = dict(os.environ)
     env["PYTHONPATH"] = (
@@ -121,6 +123,7 @@ def _parse_markers(stdout: str) -> dict:
         "serve_1m": "PALLAS_1M_OK" in stdout,
         "train": "PALLAS_TRAIN_OK" in stdout,
         "train_gen": "PALLAS_TRAIN_GEN_OK" in stdout,
+        "serve_gen": "PALLAS_SERVE_GEN_OK" in stdout,
     }
 
 
@@ -192,6 +195,15 @@ def main():
     )
     e2e_1m_per_sec = h.Q_1M / e2e_1m
 
+    # general-smoothness serve kernel (r4): the signature free-nu model
+    # class through the traced-nu surrogate in the fused coords kernel
+    serve_gen_per_sec = None
+    if flags["serve_gen"]:
+        gen_best = h.measure(
+            h.pallas_coords_gen_loop, h.make_coords_inputs()
+        )
+        serve_gen_per_sec = h.BATCH / gen_best
+
     print(
         json.dumps(
             {
@@ -213,6 +225,11 @@ def main():
                     "pallas-fused"
                     if flags["train_gen"]
                     else "xla-lanes-bessel"
+                ),
+                "kernel_preds_per_sec_gen": (
+                    None
+                    if serve_gen_per_sec is None
+                    else round(serve_gen_per_sec, 1)
                 ),
                 "train_batch": h.TRAIN_BATCH,
                 # pinned f32 accuracy statement (VERDICT r3 weak #3):

@@ -160,6 +160,39 @@ def pallas_coords_loop(iters):
     return _loop(predict, iters, perturb_arg=0)
 
 
+def pallas_coords_gen_loop(iters):
+    """The coords serve kernel with GENERAL smoothness (r4): same program
+    shape as :func:`pallas_coords_loop` but the Matern evaluates through
+    the traced-nu surrogate coefficients (SMEM) — measures the fused
+    serve cost of the library's signature free-smoothness model class."""
+    import jax.numpy as jnp
+
+    from muygpys_tpu.pallas.fused_predict import fused_predict_coords_bl
+    from muygpys_tpu.pallas.matern_nu import matern_nu_coeffs_host
+
+    params = jnp.asarray(
+        [LENGTH_SCALE] * D_FEAT + [NOISE], jnp.float32
+    )
+    co = jnp.asarray(matern_nu_coeffs_host(NU0_GEN, np.float32))
+
+    def predict(nf, q, y):
+        mean, var = fused_predict_coords_bl(
+            nf,
+            q,
+            y,
+            params,
+            gen_coeffs=co,
+            smoothness="gen",
+            # half the closed-form tile: the surrogate's Horner/Clenshaw
+            # temporaries overflow the 16M VMEM budget at TB=512
+            # (measured 17.96M on v5e)
+            batch_tile=256,
+        )
+        return jnp.sum(mean) + jnp.sum(var)
+
+    return _loop(predict, iters, perturb_arg=0)
+
+
 TRAIN_COUNT = 50_000
 
 

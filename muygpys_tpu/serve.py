@@ -383,11 +383,13 @@ class FastServer:
         )
 
     @staticmethod
-    def _pallas_tile(local_bucket: int) -> int:
-        """Pallas batch tile: ``gcd(local_bucket, 512)``; warn when the
-        geometry quietly degrades (e.g. bucket 4096 on 24 devices -> local
-        bucket 170 -> tile 2)."""
-        tile = int(math.gcd(local_bucket, 512))
+    def _pallas_tile(local_bucket: int, max_tile: int = 512) -> int:
+        """Pallas batch tile: ``gcd(local_bucket, max_tile)``; warn when
+        the geometry quietly degrades (e.g. bucket 4096 on 24 devices ->
+        local bucket 170 -> tile 2).  General-smoothness kernels cap at
+        256 (the surrogate's VMEM temporaries overflow the 16M scoped
+        budget at 512)."""
+        tile = int(math.gcd(local_bucket, max_tile))
         if tile < 256:
             import warnings
 
@@ -474,8 +476,10 @@ class FastServer:
 
             # under a mesh each device runs the chain on its local query
             # shard, so the Pallas batch tile divides the LOCAL bucket
-            tile = self._pallas_tile(self._local_bucket)
             nu, gen_co = self._kernel_smoothness(train.dtype)
+            tile = self._pallas_tile(
+                self._local_bucket, 256 if nu == "gen" else 512
+            )
             interp = jax.default_backend() == "cpu"
             params = jnp.concatenate(
                 [
@@ -590,7 +594,9 @@ class FastServer:
                     np.prod([self.mesh.shape[a] for a in axis_names])
                 )
                 local_q = self.bucket // n_dev
-                solve_tile = self._pallas_tile(local_q)
+                solve_tile = self._pallas_tile(
+                    local_q, 256 if nu == "gen" else 512
+                )
                 shard_rows = train.shape[0] // n_dev
                 use_kernel_local = shard_rows >= 1024
                 # per-shard candidate count cannot exceed the shard size
@@ -664,8 +670,10 @@ class FastServer:
                 fused_predict_coords_bl,
             )
 
-            tile = self._pallas_tile(self._local_bucket)
             nu, gen_co = self._kernel_smoothness(train.dtype)
+            tile = self._pallas_tile(
+                self._local_bucket, 256 if nu == "gen" else 512
+            )
             interp = jax.default_backend() == "cpu"
             params = jnp.concatenate(
                 [

@@ -73,6 +73,12 @@ def main():
         f"{time.perf_counter() - t0:.1f}s", flush=True,
     )
     t0 = time.perf_counter()
+    h.compile_loops(h.pallas_coords_gen_loop, h.make_coords_inputs())
+    print(
+        f"free-smoothness coords serve loop programs compiled in "
+        f"{time.perf_counter() - t0:.1f}s", flush=True,
+    )
+    t0 = time.perf_counter()
     h.compile_loops(h.pallas_loop, h.make_inputs())
     print(f"pallas loop programs compiled in {time.perf_counter() - t0:.1f}s")
 

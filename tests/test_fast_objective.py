@@ -33,8 +33,10 @@ def problem(rng):
     )
     xtr, _ = sampler.features()
     ytr, _ = sampler.sample()
-    nbrs = NN_Wrapper(xtr, 16, nn_method="exact")
-    bi, bni = sample_batch(nbrs, 128, xtr.shape[0], rng=rng)
+    # nn=10/B=64: the unrolled lanes jaxpr grows ~n^2 and dominates the
+    # conformance tests' compile time; conformance is size-independent
+    nbrs = NN_Wrapper(xtr, 10, nn_method="exact")
+    bi, bni = sample_batch(nbrs, 64, xtr.shape[0], rng=rng)
     return xtr, ytr, bi, bni
 
 
@@ -142,8 +144,9 @@ def test_rejects_unsupported(problem):
 def problem2d(rng):
     xtr = rng.uniform(size=(400, 2))
     ytr = rng.standard_normal((400, 1))
-    nbrs = NN_Wrapper(xtr, 14, nn_method="exact")
-    bi, bni = sample_batch(nbrs, 96, xtr.shape[0], rng=rng)
+    # small n: lanes jaxpr size drives compile cost, not coverage
+    nbrs = NN_Wrapper(xtr, 9, nn_method="exact")
+    bi, bni = sample_batch(nbrs, 64, xtr.shape[0], rng=rng)
     return xtr, ytr, bi, bni
 
 
