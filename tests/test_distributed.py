@@ -96,7 +96,7 @@ def test_ragged_sharded_objective_matches_serial(problem, mesh, loss):
     )
     serial = float(obj(length_scale=0.07))
     g_serial = float(
-        jax.grad(lambda ls: obj(length_scale=ls))(0.07)
+        jax.jit(jax.grad(lambda ls: obj(length_scale=ls)))(0.07)
     )
 
     (cw_s, pw_s, bt_s, bnt_s), w = shard_ragged(
@@ -108,7 +108,7 @@ def test_ragged_sharded_objective_matches_serial(problem, mesh, loss):
         loss_kwargs={"row_weights": w},
     )
     sharded = float(jax.jit(lambda ls: obj_s(length_scale=ls))(0.07))
-    g_sharded = float(jax.grad(lambda ls: obj_s(length_scale=ls))(0.07))
+    g_sharded = float(jax.jit(jax.grad(lambda ls: obj_s(length_scale=ls)))(0.07))
     np.testing.assert_allclose(sharded, serial, rtol=1e-10)
     np.testing.assert_allclose(g_sharded, g_serial, rtol=1e-9)
 
@@ -143,7 +143,7 @@ def test_sharded_gradient_matches_serial(problem, mesh):
     model, (cw, pw, bt, bnt) = problem
     obj = L_BFGS_B_optimize.make_obj_fn(model, bt, bnt, cw, pw,
                                         loss_fn=lool_fn)
-    g_serial = float(jax.grad(lambda ls: obj(length_scale=ls))(0.07))
+    g_serial = float(jax.jit(jax.grad(lambda ls: obj(length_scale=ls)))(0.07))
 
     cw_s, pw_s, bt_s, bnt_s = shard_batch((cw, pw, bt, bnt), mesh)
     obj_sh = L_BFGS_B_optimize.make_obj_fn(
@@ -327,7 +327,7 @@ def test_sharded_shear_objective_matches_serial(mesh, rng):
     obj = L_BFGS_B_optimize.make_obj_fn(model, bt, bnt, cw, pw,
                                         loss_fn=mse_fn)
     serial = float(obj(length_scale=0.1))
-    g_serial = float(jax.grad(lambda ls: obj(length_scale=ls))(0.1))
+    g_serial = float(jax.jit(jax.grad(lambda ls: obj(length_scale=ls)))(0.1))
 
     cw_s, pw_s, bt_s, bnt_s = shard_batch((cw, pw, bt, bnt), mesh)
     obj_sh = L_BFGS_B_optimize.make_obj_fn(

@@ -66,7 +66,7 @@ def _conformance_check(rng, kern, noise_free, loss, multivariate):
     params = {"length_scale": 0.33}
     if noise_free:
         params["noise"] = 2e-3
-    v_ref, g_ref = jax.value_and_grad(lambda p: ref_obj(p))(params)
+    v_ref, g_ref = jax.jit(jax.value_and_grad(lambda p: ref_obj(p)))(params)
     v, g = vag(params)
     np.testing.assert_allclose(float(v), float(v_ref), rtol=1e-8)
     for name in params:
@@ -189,7 +189,7 @@ def test_general_nu_conformance(rng, loss):
     )
     assert "smoothness" in names
     params = {"length_scale": 0.33, "noise": 2e-3, "smoothness": 1.81}
-    v_ref, g_ref = jax.value_and_grad(lambda p: ref_obj(p))(
+    v_ref, g_ref = jax.jit(jax.value_and_grad(lambda p: ref_obj(p)))(
         {k: jnp.asarray(v) for k, v in params.items()}
     )
     v, g = vag(params)
@@ -258,7 +258,7 @@ def test_heteroscedastic_conformance(rng):
     )
     assert "noise" not in names
     params = {"length_scale": 0.33}
-    v_ref, g_ref = jax.value_and_grad(lambda p: ref_obj(p))(params)
+    v_ref, g_ref = jax.jit(jax.value_and_grad(lambda p: ref_obj(p)))(params)
     v, g = vag(params)
     np.testing.assert_allclose(float(v), float(v_ref), rtol=1e-8)
     np.testing.assert_allclose(
