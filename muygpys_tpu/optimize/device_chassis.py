@@ -48,6 +48,7 @@ import numpy as np
 from muygpys_tpu.gp.muygps import MuyGPS
 from muygpys_tpu.optimize import bijectors
 from muygpys_tpu.optimize.chassis import (
+    L_BFGS_B_optimize,
     OptimizeFn,
     _get_opt_lists,
     _new_muygps,
@@ -215,13 +216,17 @@ def make_device_trainer(
 
     ``info["z"]`` is the final unconstrained iterate — pass it as ``z_init``
     on the next epoch to warm-start.  Uses the batched-Cholesky XLA
-    objective (``layout="batched"``); model classes = Matern/RBF x
-    Isotropy/Anisotropy x homo/heteroscedastic noise x hierarchical
-    (nonstationary) length scales (pass ``batch_features`` per epoch — the
-    knot-value field trains on device, r3 VERDICT weak #6), loss in
-    {lool, mse, looph}.
+    objective (``layout="batched"``) for Matern/RBF x Isotropy/Anisotropy
+    x homo/heteroscedastic noise x hierarchical (nonstationary) length
+    scales (pass ``batch_features`` per epoch — the knot-value field
+    trains on device, r3 VERDICT weak #6), loss in {lool, mse, looph};
+    model classes OUTSIDE the fast objective (the shear family,
+    NullDeformation, exotic losses) fall back to the GENERIC composed
+    objective inside the SAME compile-once trainer — every supported
+    model class epoch-trains at device speed (r4).
     """
     from muygpys_tpu.optimize.fast_objective import make_fast_loo_objective
+    from muygpys_tpu.optimize.loss import LossFn, lool_fn, looph_fn, mse_fn
 
     x0_names, x0, bounds = _get_opt_lists(muygps, verbose=verbose)
     to_theta, to_z = bijectors.make_param_bijector(x0_names, bounds)
@@ -233,12 +238,38 @@ def make_device_trainer(
         for n, z in to_z({n: x0[i] for i, n in enumerate(x0_names)}).items()
     }
 
+    # once on host: does the fast objective cover this model class?
+    if isinstance(loss, LossFn):
+        loss_obj, loss = loss, loss.name.removesuffix("_fn")
+    else:
+        loss_obj = {"lool": lool_fn, "mse": mse_fn, "looph": looph_fn}.get(
+            loss
+        )
+    from muygpys_tpu.optimize.fast_objective import fast_objective_supports
+
+    use_fast = fast_objective_supports(muygps, loss)
+    if not use_fast and loss_obj is None:
+        raise ValueError(
+            f"loss {loss!r} has no generic LossFn for the fallback"
+        )
+
     @jax.jit
     def run(z0, bt, bnt, cw, pw, bf):
-        obj_fn, _ = make_fast_loo_objective(
-            muygps, bt, bnt, cw, pw, loss=loss, layout="batched",
-            batch_features=bf,
-        )
+        if use_fast:
+            obj_fn, _ = make_fast_loo_objective(
+                muygps, bt, bnt, cw, pw, loss=loss, layout="batched",
+                batch_features=bf,
+            )
+        else:
+            # generic composed objective (single-HLO solves — while_loop
+            # safe); covers the shear family and any other functor combo
+            obj_raw = L_BFGS_B_optimize.make_obj_fn(
+                muygps, bt, bnt, cw, pw, batch_features=bf,
+                loss_fn=loss_obj,
+            )
+
+            def obj_fn(theta):
+                return obj_raw(**theta)
 
         def fun(z):
             return _finite_or_big(-obj_fn(to_theta(z)))

@@ -55,6 +55,25 @@ def _matern_eval(smoothness_fixed, nu_val):
     return _k.matern_gen_fn
 
 
+def fast_objective_supports(muygps, loss: str = "lool") -> bool:
+    """True iff :func:`make_fast_loo_objective` covers this model class —
+    the device trainer uses this to choose between the fast assembly and
+    the generic composed objective (same trainer either way)."""
+    from muygpys_tpu.gp.hyperparameter.experimental import (
+        NamedHierarchicalParameter,
+    )
+
+    kernel = muygps.kernel
+    return (
+        isinstance(kernel, (Matern, RBF))
+        and isinstance(kernel.deformation, (Isotropy, Anisotropy))
+        and isinstance(
+            muygps.noise, (HomoscedasticNoise, HeteroscedasticNoise)
+        )
+        and loss in ("lool", "mse", "looph")
+    )
+
+
 def make_fast_loo_objective(
     muygps,
     batch_targets,

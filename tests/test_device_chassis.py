@@ -161,3 +161,49 @@ def test_device_trainer_reuse_across_batches(problem, rng):
     assert trainer._jitted._cache_size() == 1, "second batch re-traced"
     ls2 = float(trained2.kernel.deformation.length_scale())
     assert np.isclose(ls2, TRUE_LS, rtol=1.0)
+
+
+def test_device_trainer_shear_fallback(rng):
+    """Model classes outside the fast objective (the shear family) epoch-
+    train through the SAME compile-once device trainer via the generic
+    composed objective (r4): full trajectory in one program, second epoch
+    hits the cached executable."""
+    from muygpys_tpu.gp.deformation import DifferenceIsotropy, F2
+    from muygpys_tpu.gp.hyperparameter import FixedScale
+    from muygpys_tpu.gp.kernels.experimental import ShearKernel
+    from muygpys_tpu.gp.noise import ShearNoise33
+    from muygpys_tpu.optimize.device_chassis import make_device_trainer
+
+    pts = rng.uniform(size=(300, 2))
+    kx = 2 * np.pi * np.array([2.0, 3.0])
+    phase = pts @ kx
+    targets = np.stack(
+        [np.sin(phase), 0.4 * np.cos(phase), 0.3 * np.sin(2 * phase)], 1
+    )
+    ls0 = 0.1
+    model = MuyGPS(
+        kernel=ShearKernel(
+            deformation=DifferenceIsotropy(
+                F2, length_scale=Parameter(0.15, (0.02, 0.5))
+            )
+        ),
+        noise=ShearNoise33(1e-3 * 2.0 / ls0**4),
+        scale=FixedScale(),
+    )
+    nbrs = NN_Wrapper(pts, 10)
+    bi = rng.choice(300, 64, replace=False)
+    bni, _ = nbrs.get_batch_nns(bi)
+    pw = model.kernel.deformation.pairwise_tensor(jnp.asarray(pts), bni)
+    cw = model.kernel.deformation.crosswise_tensor(
+        jnp.asarray(pts), jnp.asarray(pts), bi, bni
+    )
+    bt = jnp.asarray(targets[bi])
+    bnt = jnp.asarray(targets[np.asarray(bni)].swapaxes(-2, -1))
+    trainer = make_device_trainer(model, loss="mse")
+    opt, info = trainer(bt, bnt, cw, pw)
+    assert info["iterations"] > 0 and np.isfinite(info["value"])
+    ls = float(opt.kernel.deformation.length_scale())
+    assert 0.02 <= ls <= 0.5 and abs(ls - 0.15) > 1e-6
+    # second epoch: cached executable, no re-trace
+    opt2, _ = trainer(bt, bnt, cw, pw, z_init=info["z"])
+    assert trainer._jitted._cache_size() == 1
