@@ -36,7 +36,10 @@ import subprocess
 import sys
 
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
-PROBE_TIMEOUT_S = 480  # the probe compiles serve AND train loop programs
+# the probe compiles 7 loop-program groups; a genuinely cold serve group
+# alone measured ~470 s of Mosaic compile through the relay, so the budget
+# must comfortably exceed that (markers salvage partial progress either way)
+PROBE_TIMEOUT_S = 1500
 
 
 def _pallas_available() -> dict:

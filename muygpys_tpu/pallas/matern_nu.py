@@ -40,10 +40,13 @@ two modified-Bessel-I series of ``K_nu``:
     kernel's f32)
 
 Near-integer nu the raw coefficients are singular (the classical K_n log
-case); the builder clamps ``|mu| >= MU_CLAMP`` (1e-7 in f64, 3e-3 in f32),
-costing a value error ~|d phi/d nu| * MU_CLAMP inside the clamp zone and a
-frozen nu-gradient there — both far below the reference's smoothness
-recovery tolerances (2.5e-1, reference ``_test/optimize.py:38-43``).
+case); the builder clamps ``|mu| >= MU_CLAMP`` (1e-7 in f64, 3e-3 in f32)
+GRADIENT-TRANSPARENTLY: inside the zone the value is phi at the clamped
+order (error ~|d phi/d nu| * MU_CLAMP) and the nu-tangent is the finite
+tangent at the clamped point (cancellation-limited at ~2% relative there)
+— both far below the reference's smoothness recovery tolerances (2.5e-1,
+reference ``_test/optimize.py:38-43``), and an optimizer initialized at an
+exactly-integer nu still sees the true slope.
 
 Certified domain: ``nu in [NU_MIN, NU_MAX] = [0.05, 10]``, any t >= 0
 (``phi < 4e-11`` beyond TMAX=42 for nu <= 10; the tail extrapolates with the
@@ -133,7 +136,17 @@ def _build_value_coeffs(nu):
     mu = nu - n
     clamp = 1e-7 if dtype == jnp.float64 else 3e-3
     mu_sign = jnp.where(mu >= 0.0, 1.0, -1.0)
-    mu_eff = jnp.where(jnp.abs(mu) < clamp, mu_sign * clamp, mu)
+    # GRADIENT-TRANSPARENT clamp: the offset rides through stop_gradient,
+    # so inside the zone the value is phi at the clamped order while the
+    # nu-tangent is the (finite, well-defined) tangent AT the clamped
+    # point — d mu_eff/d nu = 1 everywhere.  A where()-style clamp would
+    # freeze the tangent to zero, and an optimizer INITIALIZED at an
+    # integer nu (Parameter(1.0, ...) is a natural choice) would see no
+    # smoothness slope at its first step and walk off in the wrong
+    # direction (r4 bug).  Tangent accuracy in-zone is cancellation-
+    # limited at ~eps/clamp^2 ~ 2% relative — fine for optimization.
+    delta = jnp.where(jnp.abs(mu) < clamp, mu_sign * clamp - mu, 0.0)
+    mu_eff = mu + jax.lax.stop_gradient(delta)
     nu_eff = n + mu_eff
 
     # u_k = (-1)^k / (k! prod_{i=1..k}(nu - i))   [stable reflection form]
@@ -190,11 +203,10 @@ def _build_value_coeffs(nu):
             jnp.sqrt(2.0 * nu_eff),
             n,
             mu_eff,
-            # nu-tangent gate: 0 inside the clamp zone, where the builder's
-            # jvp freezes the coefficient tangents — the explicit L*X*Q
-            # term below must freeze WITH them (alone it is an unbalanced
-            # O(1/mu) half of a cancelling pair)
-            jnp.where(jnp.abs(mu) < clamp, 0.0, 1.0).astype(dtype),
+            # nu-tangent gate (slot 3): 1 everywhere since the clamp became
+            # gradient-transparent — coefficient tangents and the explicit
+            # L*X*Q term flow together as the tangents AT the clamped point
+            jnp.ones((), dtype),
             0.5 / nu_eff,
         ]
     )

@@ -114,13 +114,18 @@ class TestDerivatives:
         fd = (phi_exact(nu + h, tt) - phi_exact(nu - h, tt)) / (2 * h)
         assert _mixed_err(np.asarray(dnu), fd, 1e-4) < 5e-6
 
-    def test_clamp_zone_gradient_frozen(self):
-        """Exactly-integer nu: the nu-tangent freezes to zero (documented
-        clamp-zone contract) instead of emitting O(1/mu) garbage."""
+    def test_clamp_zone_gradient_transparent(self):
+        """Exactly-integer nu: the gradient-transparent clamp yields the
+        FINITE tangent at the clamped point — within a few percent of the
+        true d phi/d nu (an optimizer initialized at Parameter(2.0, ...)
+        must see the real slope, not a frozen zero)."""
         co = mn.matern_nu_coeffs(jnp.float64(2.0), need_dnu=True)
-        tt = jnp.asarray([0.5, 1.0, 3.0, 10.0])
-        _, dnu = mn.matern_nu_eval(tt, co, need_dnu=True)
-        np.testing.assert_array_equal(np.asarray(dnu), 0.0)
+        tt = np.asarray([0.5, 1.0, 3.0, 10.0])
+        _, dnu = mn.matern_nu_eval(jnp.asarray(tt), co, need_dnu=True)
+        h = 1e-5
+        fd = (phi_exact(2.0 + h, tt) - phi_exact(2.0 - h, tt)) / (2 * h)
+        assert np.all(np.abs(np.asarray(dnu) - fd)
+                      <= 0.05 * np.abs(fd) + 1e-6), (dnu, fd)
 
     def test_builder_differentiable_in_nu(self):
         """jax.grad through the coefficient builder + evaluator matches FD:

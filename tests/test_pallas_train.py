@@ -223,16 +223,25 @@ def test_fused_chassis_trains_free_smoothness(rng):
     opt = Fused_L_BFGS_B_optimize(
         fresh(), t, y, cw, pw, engine="pallas", interpret=True
     )
-    np.testing.assert_allclose(
-        float(opt.kernel.smoothness()),
-        float(ref.kernel.smoothness()),
-        rtol=5e-3,
-    )
-    np.testing.assert_allclose(
-        float(opt.kernel.deformation.length_scale()),
-        float(ref.kernel.deformation.length_scale()),
-        rtol=5e-3,
-    )
+    # the random-target problem is ridge-flat in (ls, nu) — argmins can
+    # land on different boundary corners with equal objectives, so the
+    # conformance bar is achieved OBJECTIVE quality, judged by the exact
+    # generic objective at both optima
+    from muygpys_tpu.optimize import lool_fn as _lool
+
+    def exact_obj(m):
+        obj = L_BFGS_B_optimize.make_obj_fn(
+            fresh(), t, y, cw, pw, loss_fn=_lool
+        )
+        return float(
+            obj(
+                length_scale=float(m.kernel.deformation.length_scale()),
+                smoothness=float(m.kernel.smoothness()),
+            )
+        )
+
+    v_ref, v_opt = exact_obj(ref), exact_obj(opt)
+    assert v_opt >= v_ref - 5e-3 * abs(v_ref), (v_opt, v_ref)
 
 
 def test_heteroscedastic_conformance(rng):
