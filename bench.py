@@ -50,7 +50,8 @@ def _pallas_available() -> dict:
     and we don't gamble the bench run on it.  On success the caches are
     warm, so the in-process compiles below are fast either way.
 
-    Returns a dict of flags {"serve", "serve_1m", "train", "train_gen"}:
+    Returns a dict of flags
+    {"serve", "serve_1m", "train", "train_gen", "serve_gen"}:
     the probe prints a marker after each program group compiles, and the
     timeout/nonzero-exit paths honor whatever markers made it to stdout —
     a cold compile of a LATER group cannot demote the earlier groups to

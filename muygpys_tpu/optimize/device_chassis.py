@@ -226,7 +226,7 @@ def make_device_trainer(
     model class epoch-trains at device speed (r4).
     """
     from muygpys_tpu.optimize.fast_objective import make_fast_loo_objective
-    from muygpys_tpu.optimize.loss import LossFn, lool_fn, looph_fn, mse_fn
+    from muygpys_tpu.optimize.loss import LossFn
 
     x0_names, x0, bounds = _get_opt_lists(muygps, verbose=verbose)
     to_theta, to_z = bijectors.make_param_bijector(x0_names, bounds)
@@ -242,9 +242,11 @@ def make_device_trainer(
     if isinstance(loss, LossFn):
         loss_obj, loss = loss, loss.name.removesuffix("_fn")
     else:
-        loss_obj = {"lool": lool_fn, "mse": mse_fn, "looph": looph_fn}.get(
-            loss
-        )
+        from muygpys_tpu.optimize import loss as _loss_mod
+
+        loss_obj = getattr(_loss_mod, f"{loss}_fn", None)
+        if loss_obj is not None and not isinstance(loss_obj, LossFn):
+            loss_obj = None
     from muygpys_tpu.optimize.fast_objective import fast_objective_supports
 
     use_fast = fast_objective_supports(muygps, loss)

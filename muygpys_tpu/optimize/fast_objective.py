@@ -59,10 +59,6 @@ def fast_objective_supports(muygps, loss: str = "lool") -> bool:
     """True iff :func:`make_fast_loo_objective` covers this model class —
     the device trainer uses this to choose between the fast assembly and
     the generic composed objective (same trainer either way)."""
-    from muygpys_tpu.gp.hyperparameter.experimental import (
-        NamedHierarchicalParameter,
-    )
-
     kernel = muygps.kernel
     return (
         isinstance(kernel, (Matern, RBF))

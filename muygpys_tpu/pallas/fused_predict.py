@@ -220,13 +220,20 @@ def fused_predict_bl(
     r = y.shape[1]
     if B % batch_tile != 0:
         raise ValueError(f"batch_tile {batch_tile} must divide batch {B}")
-    grid = (B // batch_tile,)
     params = jnp.asarray(params, pw.dtype)
     gen = smoothness == "gen"
     if gen and gen_coeffs is None:
         raise ValueError('smoothness="gen" requires gen_coeffs')
     if gen and metric_power != 1:
         raise ValueError('smoothness="gen" requires the l2 metric')
+    if gen and batch_tile > 256:
+        # the surrogate's Horner/Clenshaw temporaries overflow the 16M
+        # VMEM scoped budget at the closed-form tile (measured 17.96M at
+        # TB=512 on v5e)
+        batch_tile = 256
+        while B % batch_tile:
+            batch_tile //= 2
+    grid = (B // batch_tile,)
 
     kernel = functools.partial(_kernel_body, smoothness, metric_power)
     in_specs = [
@@ -311,7 +318,6 @@ def fused_predict_coords_bl(
     r = y.shape[1]
     if B % batch_tile != 0:
         raise ValueError(f"batch_tile {batch_tile} must divide batch {B}")
-    grid = (B // batch_tile,)
     params = jnp.asarray(params, nf.dtype)
     hetero = noise_nn is not None
     gen = smoothness == "gen"
@@ -319,6 +325,14 @@ def fused_predict_coords_bl(
         raise ValueError('smoothness="gen" requires gen_coeffs')
     if gen and metric_power != 1:
         raise ValueError('smoothness="gen" requires the l2 metric')
+    if gen and batch_tile > 256:
+        # the surrogate's Horner/Clenshaw temporaries overflow the 16M
+        # VMEM scoped budget at the closed-form tile (measured 17.96M at
+        # TB=512 on v5e)
+        batch_tile = 256
+        while B % batch_tile:
+            batch_tile //= 2
+    grid = (B // batch_tile,)
 
     kernel = functools.partial(
         _coords_body, smoothness, metric_power, d_feat, hetero

@@ -313,6 +313,12 @@ def fused_train_stats_bl(
         )
     if gen and metric_power != 1:
         raise ValueError('smoothness="gen" requires the l2 metric')
+    if gen and batch_tile > 128:
+        # the surrogate + d/dnu contraction fields overflow the 16M VMEM
+        # scoped budget above TB=128 (measured 17.34M at 256 on v5e)
+        batch_tile = 128
+        while B % batch_tile:
+            batch_tile //= 2
     C = (4 * r + 7) if smoothness_free else (3 * r + 5)
     grid = (B // batch_tile,)
     kernel = functools.partial(

@@ -83,7 +83,7 @@ _S_MID = 0.5 * (T0 + TMAX)
 _S_HALF = 0.5 * (TMAX - T0)
 
 # flat coefficient-vector layout (static offsets; scalars first)
-_N_SCAL = 5  # [sq2nu, n, mu, dmu_gate (0 in the clamp zone), inv_2nu]
+_N_SCAL = 5  # [sq2nu, n, mu, nu-tangent gate (1.0; see builder), inv_2nu]
 _OFF_A = _N_SCAL
 _OFF_B = _OFF_A + KSM
 _OFF_C = _OFF_B + KSM
@@ -335,8 +335,8 @@ def matern_nu_eval(t, coef, need_dt: bool = False, need_dnu: bool = False):
         Pd = _horner(da, ws)
         Qd = _horner(db, ws)
         # coefficient tangents + the explicit dEm/dmu = L X (dmu/dnu = 1
-        # away from the piecewise boundaries, 0 in the frozen clamp zone —
-        # coef[3]; dn/dnu = 0)
+        # everywhere — the clamp is gradient-transparent; coef[3] stays a
+        # hook for builders that need to gate the term; dn/dnu = 0)
         gate = coef[3]
         dnu_small = Pd + Wn * (Em * Qd + gate * (L * X * Q))
         dnu_tail = phi_tail * _clenshaw(dc, s)

@@ -127,19 +127,32 @@ def local_chunk_slice(global_count: int, mesh: Mesh) -> slice:
     Multi-host programs construct ``jax.Array``s from per-host shards
     (``jax.make_array_from_process_local_data``); this is the analogue of
     the reference's ``_get_chunk_sizes`` (``_src/mpi_utils.py:36-41``) row
-    arithmetic.  XLA needs device-even shards, so a count that does not
-    divide the device count must go through
+    arithmetic, computed against THE MESH (which may span a subset of the
+    job's devices/processes).  XLA needs device-even shards, so a count
+    that does not divide the mesh's device count must go through
     :func:`muygpys_tpu.parallel.sharding.shard_ragged_global` (pad + 0/1
     row weights — the reference's uneven chunks, with the extra rows
     existing everywhere but counting nowhere).
     """
-    n_proc = jax.process_count()
-    if global_count % jax.device_count() != 0:
+    devs = list(mesh.devices.flat)
+    n_dev = len(devs)
+    if global_count % n_dev != 0:
         raise ValueError(
-            f"batch {global_count} must divide the device count "
-            f"{jax.device_count()}; use sharding.shard_ragged_global "
-            "(pads with edge rows and returns 0/1 row weights)"
+            f"batch {global_count} must divide the mesh's device count "
+            f"{n_dev}; use sharding.shard_ragged_global (pads with edge "
+            "rows and returns 0/1 row weights)"
         )
-    per = global_count // n_proc
+    per_dev = global_count // n_dev
     rank = jax.process_index()
-    return slice(rank * per, (rank + 1) * per)
+    mine = [i for i, d in enumerate(devs) if d.process_index == rank]
+    if not mine:
+        return slice(0, 0)
+    if mine != list(range(mine[0], mine[0] + len(mine))):
+        # NamedSharding hands rows out row-major over the mesh's device
+        # order, so a process's rows are contiguous only under the
+        # process-major layout make_hybrid_mesh produces
+        raise ValueError(
+            "this process's mesh devices are not contiguous; build the "
+            "mesh with make_hybrid_mesh (process-major device order)"
+        )
+    return slice(mine[0] * per_dev, (mine[-1] + 1) * per_dev)

@@ -207,3 +207,27 @@ def test_device_trainer_shear_fallback(rng):
     # second epoch: cached executable, no re-trace
     opt2, _ = trainer(bt, bnt, cw, pw, z_init=info["z"])
     assert trainer._jitted._cache_size() == 1
+
+
+def test_device_trainer_loss_registry(rng):
+    """String losses outside the fast set resolve from the loss-module
+    registry and train via the generic fallback (r4 review fix)."""
+    from muygpys_tpu.optimize.device_chassis import make_device_trainer
+
+    sampler = UnivariateSampler(
+        data_count=300, train_ratio=0.5, nu=NU, length_scale=TRUE_LS,
+        measurement_noise=1e-3, rng=rng,
+    )
+    xtr, _ = sampler.features()
+    ytr, _ = sampler.sample()
+    model = _model()
+    nbrs = NN_Wrapper(xtr, 10, nn_method="exact")
+    bi, bni = sample_batch(nbrs, 64, xtr.shape[0], rng=rng)
+    cw, pw, bt, bnt = model.make_train_tensors(
+        bi, bni, jnp.asarray(xtr), jnp.asarray(ytr)
+    )
+    trainer = make_device_trainer(model, loss="pseudo_huber")
+    trained, info = trainer(bt, bnt, cw, pw)
+    assert info["iterations"] > 0 and np.isfinite(info["value"])
+    with pytest.raises(ValueError, match="no generic LossFn"):
+        make_device_trainer(model, loss="nonsense")

@@ -416,3 +416,48 @@ class TestScalingHarness:
         # sharded step reduces scalars only: a few dozen bytes at most
         assert 0 < sum(comm.values()) <= 256, comm
         assert all(np.isfinite(r["rows_per_sec"]) for r in records)
+
+
+def test_local_chunk_slice_submesh():
+    """local_chunk_slice computes against THE MESH, not the global device
+    count (r4 review fix): a 4-device sub-mesh on this 8-device job chunks
+    a 12-row batch fine, and the ragged error names the mesh size."""
+    import jax
+
+    from muygpys_tpu.parallel import make_mesh
+    from muygpys_tpu.parallel.mesh import local_chunk_slice
+
+    sub = make_mesh(devices=jax.devices()[:4])
+    assert local_chunk_slice(12, sub) == slice(0, 12)
+    with pytest.raises(ValueError, match="device count 4"):
+        local_chunk_slice(13, sub)
+
+
+def test_shard_ragged_global_submesh(problem):
+    """shard_ragged_global pads to the SUB-mesh's device multiple and the
+    weighted objective equals the unpadded serial value."""
+    import jax
+
+    from muygpys_tpu.parallel import make_mesh
+    from muygpys_tpu.parallel.sharding import shard_ragged_global
+
+    model, (cw, pw, bt, bnt) = problem
+    sub = make_mesh(devices=jax.devices()[:4])
+    ragged = 77
+    cw_r, pw_r, bt_r, bnt_r = (t[:ragged] for t in (cw, pw, bt, bnt))
+    (cw_s, pw_s, bt_s, bnt_s), w = shard_ragged_global(
+        (cw_r, pw_r, bt_r, bnt_r), sub
+    )
+    assert cw_s.shape[0] == 80 and float(jnp.sum(w)) == ragged
+    obj = L_BFGS_B_optimize.make_obj_fn(
+        model, bt_r, bnt_r, cw_r, pw_r, loss_fn=lool_fn
+    )
+    obj_s = L_BFGS_B_optimize.make_obj_fn(
+        model, bt_s, bnt_s, cw_s, pw_s, loss_fn=lool_fn,
+        loss_kwargs={"row_weights": w},
+    )
+    np.testing.assert_allclose(
+        float(jax.jit(lambda: obj_s(length_scale=0.07))()),
+        float(obj(length_scale=0.07)),
+        rtol=1e-10,
+    )
