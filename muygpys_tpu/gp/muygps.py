@@ -28,7 +28,6 @@ from muygpys_tpu.gp.mean import PosteriorMean
 from muygpys_tpu.gp.noise import HomoscedasticNoise, NoiseFn
 from muygpys_tpu.gp.variance import PosteriorVariance
 from muygpys_tpu.ops import solve as _solve
-from muygpys_tpu.ops import tensors as _t
 
 
 class MuyGPS:

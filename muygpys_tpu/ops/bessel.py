@@ -26,8 +26,6 @@ Gradients: ``kve`` carries a custom JVP.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -38,7 +38,6 @@ Entry points:
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Optional
 
 import jax

@@ -441,7 +441,6 @@ def make_fused_train_objective(
     maximization sign convention of the generic objective.
     """
     from muygpys_tpu.gp.deformation import Isotropy
-    from muygpys_tpu.gp.deformation.metric import F2 as _F2m, l2 as _l2m
     from muygpys_tpu.gp.kernels import Matern, RBF
     from muygpys_tpu.gp.noise import HeteroscedasticNoise, HomoscedasticNoise
 

@@ -18,7 +18,6 @@ allreduce(SUM), bcast, rank/size) map to:
 
 from __future__ import annotations
 
-import os
 import warnings
 from typing import Optional, Sequence
 

@@ -20,7 +20,7 @@ Notes on semantics parity:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

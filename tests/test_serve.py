@@ -66,7 +66,6 @@ def test_engines_match_reference_chain(problem, engine, nu):
 
 def test_pallas_engine_interprets(problem, monkeypatch):
     """pallas engine path on CPU via interpret-mode kernel."""
-    import muygpys_tpu.serve as serve_mod
     from muygpys_tpu.pallas import fused_predict as fp
 
     orig = fp.fused_predict_coords_bl
