@@ -54,10 +54,16 @@ def _kernel_and_deriv(u, smoothness, gen_ref=None, need_dnu=False):
     partial from the nu-tangent coefficient sets.
     """
     if smoothness == "gen":
-        from muygpys_tpu.pallas.matern_nu import matern_nu_eval
+        from muygpys_tpu.pallas.matern_nu import NTAIL, matern_nu_eval
 
+        # f32 training trims the tail Chebyshev: ~2e-5 phi error is far
+        # inside gradient tolerances and saves ~3 x 16 Clenshaw terms per
+        # element; f64 (conformance tests) keeps the full series
+        nt = 24 if u.dtype == jnp.float32 else NTAIL
         t = gen_ref[0] * u
-        out = matern_nu_eval(t, gen_ref, need_dt=True, need_dnu=need_dnu)
+        out = matern_nu_eval(
+            t, gen_ref, need_dt=True, need_dnu=need_dnu, tail_terms=nt
+        )
         if need_dnu:
             phi, dphi_dt, dnu_part = out
             H = t * dphi_dt

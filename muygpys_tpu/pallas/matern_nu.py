@@ -261,7 +261,13 @@ def _expm1(z):
     return jnp.where(small, series, jnp.exp(zs) - 1.0)
 
 
-def matern_nu_eval(t, coef, need_dt: bool = False, need_dnu: bool = False):
+def matern_nu_eval(
+    t,
+    coef,
+    need_dt: bool = False,
+    need_dnu: bool = False,
+    tail_terms: int = NTAIL,
+):
     """Elementwise ``phi_nu`` from a :func:`matern_nu_coeffs` vector.
 
     Args:
@@ -272,6 +278,10 @@ def matern_nu_eval(t, coef, need_dt: bool = False, need_dnu: bool = False):
         need_dt / need_dnu: also return ``d phi/d t`` and the *partial*
             ``d phi/d nu`` at fixed t (the caller owns the
             ``dt/dnu = t/(2 nu)`` chain term via ``coef[4] = 1/(2 nu)``).
+        tail_terms: static truncation of the tail Chebyshev (leading
+            coefficients of the same layout; <= NTAIL).  24 terms cost
+            ~2e-5 absolute on phi — acceptable for f32 TRAINING gradients,
+            not for serving accuracy budgets.
 
     Returns ``phi`` or a tuple ``(phi, [dphi_dt], [dphi_dnu_partial])``.
     """
@@ -279,9 +289,10 @@ def matern_nu_eval(t, coef, need_dt: bool = False, need_dnu: bool = False):
     nf = coef[1]
     mu = coef[2]
 
+    nt = min(int(tail_terms), NTAIL)
     a = [coef[_OFF_A + k] for k in range(KSM)]
     b = [coef[_OFF_B + k] for k in range(KSM)]
-    c = [coef[_OFF_C + k] for k in range(NTAIL)]
+    c = [coef[_OFF_C + k] for k in range(nt)]
 
     # ---- small branch: w = t^2/4 ----
     w = 0.25 * t * t
@@ -307,7 +318,7 @@ def matern_nu_eval(t, coef, need_dt: bool = False, need_dnu: bool = False):
     if need_dt:
         ap = [coef[_OFF_AP + k] for k in range(KSM - 1)]
         bp = [coef[_OFF_BP + k] for k in range(KSM - 1)]
-        cp = [coef[_OFF_CP + k] for k in range(NTAIL)]
+        cp = [coef[_OFF_CP + k] for k in range(nt)]
         X = Em + 1.0  # w^mu
         dP = _horner(ap, ws)
         dQ = _horner(bp, ws)
@@ -330,7 +341,7 @@ def matern_nu_eval(t, coef, need_dt: bool = False, need_dnu: bool = False):
     if need_dnu:
         da = [coef[_OFF_DA + k] for k in range(KSM)]
         db = [coef[_OFF_DB + k] for k in range(KSM)]
-        dc = [coef[_OFF_DC + k] for k in range(NTAIL)]
+        dc = [coef[_OFF_DC + k] for k in range(nt)]
         X = Em + 1.0
         Pd = _horner(da, ws)
         Qd = _horner(db, ws)
