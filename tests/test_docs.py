@@ -10,8 +10,6 @@ import re
 
 import pytest
 
-pytestmark = pytest.mark.slow
-
 DOCS = sorted(
     (pathlib.Path(__file__).parent.parent / "docs").glob("*.md"),
     key=lambda p: p.name,
@@ -24,6 +22,7 @@ def _blocks(path):
     return _BLOCK.findall(path.read_text())
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("doc", DOCS, ids=lambda p: p.name)
 def test_tutorial_runs(doc, tmp_path, monkeypatch):
     blocks = _blocks(doc)
