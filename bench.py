@@ -221,6 +221,11 @@ def main():
                 ),
                 "end_to_end_train_count": h.TRAIN_COUNT,
                 "end_to_end_preds_per_sec_1m": round(e2e_1m_per_sec, 1),
+                "e2e_1m_engine": (
+                    "pallas-pruned"
+                    if flags["serve_1m"]
+                    else "xla-fallback"
+                ),
                 "train_steps_per_sec": round(train_steps_per_sec, 1),
                 "train_steps_per_sec_gen": round(
                     train_gen_steps_per_sec, 1

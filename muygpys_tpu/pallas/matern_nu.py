@@ -40,13 +40,20 @@ two modified-Bessel-I series of ``K_nu``:
     kernel's f32)
 
 Near-integer nu the raw coefficients are singular (the classical K_n log
-case); the builder clamps ``|mu| >= MU_CLAMP`` (1e-7 in f64, 3e-3 in f32)
+case); the builder clamps ``|mu| >= MU_CLAMP`` (1e-7 in f64, 1e-2 in f32)
 GRADIENT-TRANSPARENTLY: inside the zone the value is phi at the clamped
 order (error ~|d phi/d nu| * MU_CLAMP) and the nu-tangent is the finite
-tangent at the clamped point (cancellation-limited at ~2% relative there)
-— both far below the reference's smoothness recovery tolerances (2.5e-1,
-reference ``_test/optimize.py:38-43``), and an optimizer initialized at an
-exactly-integer nu still sees the true slope.
+tangent at the clamped point.  In f64 both are ~1e-7.  In f32 the
+coefficient nu-tangents suffer an eps/mu^2-style cancellation that peaks
+at the small/tail split t ~ T0; with the 1e-2 clamp the MEASURED bounds
+(tests/test_matern_nu.py::TestF32Builder) are: value <= 4e-3 absolute
+in-zone (<= 1.5e-3 outside), d/d nu <= 13% relative in-zone decaying to
+< 1% by |mu| = 3e-2 — sign-correct throughout, and far below the
+reference's smoothness recovery tolerance (2.5e-1, reference
+``_test/optimize.py:38-43``); an optimizer initialized at an
+exactly-integer nu still sees the true slope.  (The r4 3e-3 clamp put the
+in-zone tangent at ~85% relative — sign-preserving but overstated by its
+docstring; r5 advisor finding.)
 
 Certified domain: ``nu in [NU_MIN, NU_MAX] = [0.05, 10]``, any t >= 0
 (``phi < 4e-11`` beyond TMAX=42 for nu <= 10; the tail extrapolates with the
@@ -134,7 +141,7 @@ def _build_value_coeffs(nu):
     nu = jnp.asarray(nu, dtype)
     n = jnp.floor(nu + 0.5)
     mu = nu - n
-    clamp = 1e-7 if dtype == jnp.float64 else 3e-3
+    clamp = 1e-7 if dtype == jnp.float64 else 1e-2
     mu_sign = jnp.where(mu >= 0.0, 1.0, -1.0)
     # GRADIENT-TRANSPARENT clamp: the offset rides through stop_gradient,
     # so inside the zone the value is phi at the clamped order while the
@@ -143,8 +150,10 @@ def _build_value_coeffs(nu):
     # freeze the tangent to zero, and an optimizer INITIALIZED at an
     # integer nu (Parameter(1.0, ...) is a natural choice) would see no
     # smoothness slope at its first step and walk off in the wrong
-    # direction (r4 bug).  Tangent accuracy in-zone is cancellation-
-    # limited at ~eps/clamp^2 ~ 2% relative — fine for optimization.
+    # direction (r4 bug).  In-zone tangent accuracy is cancellation-
+    # limited (~eps/clamp^2 scaling): measured <= 13% relative for f32 at
+    # clamp 1e-2, ~1e-7 for f64 — fine for optimization (module
+    # docstring has the certified f32 bounds).
     delta = jnp.where(jnp.abs(mu) < clamp, mu_sign * clamp - mu, 0.0)
     mu_eff = mu + jax.lax.stop_gradient(delta)
     nu_eff = n + mu_eff
@@ -281,7 +290,10 @@ def matern_nu_eval(
         tail_terms: static truncation of the tail Chebyshev (leading
             coefficients of the same layout; <= NTAIL).  24 terms cost
             ~2e-5 absolute on phi — acceptable for f32 TRAINING gradients,
-            not for serving accuracy budgets.
+            not for serving accuracy budgets.  The returned derivatives
+            are the exact derivatives of the TRUNCATED phi: ``dphi_dt``
+            re-derives its Chebyshev coefficients from the truncated
+            series in-kernel, and the nu-tangent truncates linearly.
 
     Returns ``phi`` or a tuple ``(phi, [dphi_dt], [dphi_dnu_partial])``.
     """
@@ -318,7 +330,20 @@ def matern_nu_eval(
     if need_dt:
         ap = [coef[_OFF_AP + k] for k in range(KSM - 1)]
         bp = [coef[_OFF_BP + k] for k in range(KSM - 1)]
-        cp = [coef[_OFF_CP + k] for k in range(nt)]
+        if nt == NTAIL:
+            cp = [coef[_OFF_CP + k] for k in range(nt)]
+        else:
+            # derive d/ds coefficients FROM THE TRUNCATED c so the reported
+            # gradient is exactly the derivative of the evaluated phi (the
+            # stored cp came from the full NTAIL series; reading its head
+            # would leave a ~2e-5 value/gradient inconsistency — r4
+            # advisor).  Static unrolled recurrence, ~nt scalar ops.
+            cp = [None] * (nt + 1)
+            cp[nt] = cp[nt - 1] = jnp.zeros_like(c[0])
+            for k in range(nt - 1, 0, -1):
+                cp[k - 1] = cp[k + 1] + 2.0 * k * c[k]
+            cp[0] = 0.5 * cp[0]
+            cp = cp[:nt]
         X = Em + 1.0  # w^mu
         dP = _horner(ap, ws)
         dQ = _horner(bp, ws)

@@ -397,7 +397,7 @@ class FastServer:
                 f"FastServer bucket geometry: local bucket {local_bucket} "
                 f"gives a Pallas batch tile of {tile} (< 256); throughput "
                 "degrades on small tiles.  Choose a bucket whose per-device "
-                "share is a multiple of 512.",
+                f"share is a multiple of {max_tile}.",
                 stacklevel=3,
             )
         return tile

@@ -20,7 +20,15 @@ import scipy.special
 
 from muygpys_tpu.pallas import matern_nu as mn
 
-jax.config.update("jax_enable_x64", True)
+
+@pytest.fixture(scope="module", autouse=True)
+def _x64():
+    """The certification sweeps need f64; scope the toggle so other test
+    modules' precision never depends on collection order (r4 advisor)."""
+    prev = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", prev)
 
 
 def phi_exact(nu, t):
@@ -184,3 +192,86 @@ class TestBesselOrderDerivative:
             want = scipy.special.kve(v, np.asarray(xs, np.float64))
             assert np.all(np.isfinite(got))
             np.testing.assert_allclose(got, want, rtol=5e-3)
+
+
+class TestF32Builder:
+    """The TRACED f32 coefficient builder — the dtype the fused training
+    path actually runs (``_vag`` builds coefficients at params_arr's f32
+    dtype under x64-off serving processes).  Bounds here are the module
+    docstring's certified f32 numbers (r4 advisor: the path was untested
+    and the old 3e-3 clamp put the in-zone tangent at ~85%)."""
+
+    TT = np.concatenate(
+        [np.linspace(0.05, 1.95, 30), np.linspace(2.05, 12.0, 30)]
+    )
+
+    def _errs(self, nu):
+        co = mn.matern_nu_coeffs(jnp.float32(nu), need_dnu=True)
+        assert co.dtype == jnp.float32  # weak-typed float does not promote
+        phi, dnu = mn.matern_nu_eval(
+            jnp.asarray(self.TT, jnp.float32), co, need_dnu=True
+        )
+        pe = phi_exact(nu, self.TT)
+        h = 1e-6
+        de = (phi_exact(nu + h, self.TT) - phi_exact(nu - h, self.TT)) / (
+            2 * h
+        )
+        verr = np.max(np.abs(np.asarray(phi, np.float64) - pe))
+        derr = np.max(
+            np.abs(np.asarray(dnu, np.float64) - de)
+            / np.maximum(np.abs(de), 1e-2)
+        )
+        return verr, derr
+
+    @pytest.mark.parametrize("nu", [0.997, 0.999, 1.0, 1.001, 2.0, 3.0])
+    def test_in_clamp_zone(self, nu):
+        verr, derr = self._errs(nu)
+        assert verr < 6e-3, verr  # ~|dphi/dnu| * clamp(1e-2)
+        assert derr < 0.18, derr  # measured <= 0.13; cancellation floor
+
+    @pytest.mark.parametrize("nu", [1.03, 1.1, 1.25, 1.5, 2.1, 2.5, 5.2])
+    def test_outside_clamp_zone(self, nu):
+        verr, derr = self._errs(nu)
+        assert verr < 2e-3, verr
+        assert derr < 0.02, derr
+
+    def test_sign_preserved_in_zone(self):
+        """In-zone the tangent may be up to ~13% off but must never flip
+        sign (the optimizer's escape direction)."""
+        for nu in (0.999, 1.0, 2.0):
+            co = mn.matern_nu_coeffs(jnp.float32(nu), need_dnu=True)
+            tt = self.TT[self.TT > 0.2]
+            _, dnu = mn.matern_nu_eval(
+                jnp.asarray(tt, jnp.float32), co, need_dnu=True
+            )
+            h = 1e-6
+            de = (phi_exact(nu + h, tt) - phi_exact(nu - h, tt)) / (2 * h)
+            mask = np.abs(de) > 1e-3
+            assert np.all(
+                np.sign(np.asarray(dnu, np.float64))[mask]
+                == np.sign(de)[mask]
+            )
+
+
+class TestTruncatedTail:
+    def test_dt_matches_truncated_value(self):
+        """With tail_terms < NTAIL the reported dphi_dt must be the exact
+        derivative OF THE EVALUATED (truncated) phi, not of the full
+        series (r4 advisor: stored cp came from the 40-term series)."""
+        nu = 2.3
+        co = mn.matern_nu_coeffs(jnp.float64(nu))
+        tt = np.linspace(mn.T0 + 0.3, mn.TMAX - 0.5, 50)
+
+        def phi24(t):
+            return mn.matern_nu_eval(t, co, tail_terms=24)
+
+        _, dt = mn.matern_nu_eval(
+            jnp.asarray(tt), co, need_dt=True, tail_terms=24
+        )
+        h = 1e-6
+        fd = (phi24(jnp.asarray(tt + h)) - phi24(jnp.asarray(tt - h))) / (
+            2 * h
+        )
+        np.testing.assert_allclose(
+            np.asarray(dt), np.asarray(fd), rtol=1e-7, atol=1e-12
+        )
