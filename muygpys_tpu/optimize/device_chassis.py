@@ -218,7 +218,8 @@ def make_device_trainer(
     objective (``layout="batched"``) for Matern/RBF x Isotropy/Anisotropy
     x homo/heteroscedastic noise x hierarchical (nonstationary) length
     scales (pass ``batch_features`` per epoch — the knot-value field
-    trains on device, r3 VERDICT weak #6), loss in {lool, mse, looph};
+    trains on device, r3 VERDICT weak #6), loss in {lool, mse, looph,
+    huber/pseudo_huber};
     model classes OUTSIDE the fast objective (the shear family,
     NullDeformation, exotic losses) fall back to the GENERIC composed
     objective inside the SAME compile-once trainer — every supported
@@ -243,7 +244,8 @@ def make_device_trainer(
     else:
         from muygpys_tpu.optimize import loss as _loss_mod
 
-        loss_obj = getattr(_loss_mod, f"{loss}_fn", None)
+        fn_name = {"huber": "pseudo_huber"}.get(loss, loss)
+        loss_obj = getattr(_loss_mod, f"{fn_name}_fn", None)
         if loss_obj is not None and not isinstance(loss_obj, LossFn):
             loss_obj = None
     from muygpys_tpu.optimize.fast_objective import fast_objective_supports
@@ -335,8 +337,10 @@ def Fused_Device_LBFGS_optimize(
     ``"pallas"`` uses the fused value+analytic-gradient kernel
     (:mod:`muygpys_tpu.pallas.fused_train`) wrapped in ``jax.custom_vjp`` so
     ``optax``'s line search can differentiate it — including FREE smoothness
-    (traced-nu surrogate, analytic d/dnu rows); unsupported configurations
-    (anisotropy) fall back to the batched-Cholesky XLA objective (``layout="batched"`` — the unrolled lanes jaxpr would blow up
+    (traced-nu surrogate, analytic d/dnu rows) and ANISOTROPY (per-feature
+    derivative groups, r5); unsupported configurations (hierarchical
+    length scales) fall back to the batched-Cholesky XLA objective
+    (``layout="batched"`` — the unrolled lanes jaxpr would blow up
     while_loop compile time, so it stays in the host-loop chassis).
     """
     from muygpys_tpu.optimize.fast_objective import make_fast_loo_objective

@@ -2,7 +2,8 @@
 
 Same result contract as :data:`muygpys_tpu.optimize.L_BFGS_B_optimize` for
 the common production model (Matern/RBF + Isotropy + homoscedastic noise,
-lool/mse loss), but the objective is evaluated by the lane-layout fast
+loss in {lool, mse, looph, huber}), but the objective is evaluated by the
+lane-layout fast
 objective (:mod:`muygpys_tpu.optimize.fast_objective`, ~4.5x the generic
 chassis) or the single fused Pallas kernel that returns value AND analytic
 gradient in one VMEM pass (:mod:`muygpys_tpu.pallas.fused_train`; see
@@ -12,9 +13,10 @@ PERF.md for the measured ladder).
 
 ``engine``:
     "pallas" — fused kernel (incl. FREE smoothness via the traced-nu
-               surrogate with analytic d/dnu rows, r4); falls back to
-               "lanes" for capabilities the kernel doesn't lower
-               (anisotropy).
+               surrogate with analytic d/dnu rows, r4, and ANISOTROPY via
+               per-feature derivative groups, r5); falls back to "lanes"
+               for capabilities the kernel doesn't lower (hierarchical
+               length scales).
     "lanes"  — lane-layout XLA objective under jit(value_and_grad).
 """
 

@@ -510,6 +510,42 @@ def test_anisotropy_engines(problem, engine, monkeypatch):
 
 
 @pytest.mark.parametrize("engine", ["lanes", "pallas"])
+@pytest.mark.parametrize("nu", [0.9, 3.3])
+def test_anisotropy_general_smoothness(problem, engine, nu, monkeypatch):
+    """Anisotropy x GENERAL smoothness through the serving fast paths:
+    the coords kernel composes per-feature length scales with the
+    traced-nu surrogate (r4 VERDICT next #3 serving leg; reference has no
+    fast path for either capability, let alone the product)."""
+    from muygpys_tpu.gp.deformation import Anisotropy
+    from muygpys_tpu.gp.hyperparameter import VectorParameter
+
+    if engine == "pallas":
+        _interp_coords(monkeypatch)
+    xtr, ytr, xte = problem
+    scale = FixedScale()
+    scale._set(1.3)
+    model = MuyGPS(
+        kernel=Matern(
+            smoothness=Parameter(nu),
+            deformation=Anisotropy(
+                l2,
+                length_scale=VectorParameter(
+                    Parameter(0.4), Parameter(0.9), Parameter(1.6)
+                ),
+            ),
+        ),
+        noise=HomoscedasticNoise(1e-3),
+        scale=scale,
+    )
+    nbrs = NN_Wrapper(xtr, 12, nn_method="exact")
+    server = FastServer(model, nbrs, xtr, ytr, bucket=64, engine=engine)
+    mean, var = server.predict(xte[:50])
+    mean_ref, var_ref = _reference_predict(model, xtr, ytr, xte[:50], nbrs)
+    np.testing.assert_allclose(mean, mean_ref, rtol=2e-6, atol=1e-8)
+    np.testing.assert_allclose(var, var_ref, rtol=2e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("engine", ["lanes", "pallas"])
 def test_heteroscedastic_engines(problem, engine, rng, monkeypatch):
     """Per-training-point measurement noise through the serving fast paths
     (reference heteroscedastic gather, _src/gp/tensors/numpy.py:11-15)."""
