@@ -41,7 +41,10 @@ query time exactly like the reference's ``_make_heteroscedastic_tensor``,
 (``ShearKernel`` 3-in/3-out, ``ShearKernel2in3out``, ``ShearNoise33``)
 serves through the lanes engine's multi-output block solver — posterior
 mean ``(B, 3)`` + full ``(B, 3, 3)`` covariance per query (r4; the
-reference has no serving machinery for these models at all).
+reference has no serving machinery for these models at all) — or, since
+r5, through ``engine="pallas"``: the same chain with the (I*n, I*n)
+block Cholesky fused into one VMEM Pallas pass per tile
+(:mod:`muygpys_tpu.pallas.multiout_solve`).
 
 The query batch is padded to a fixed bucket size so ONE compiled program
 serves any request size (XLA static shapes).
@@ -163,10 +166,11 @@ class FastServer:
                 )
         if engine not in ("lanes", "pallas", "fused", "reference"):
             raise ValueError(f"unknown engine {engine!r}")
-        if self._shear and engine != "lanes":
+        if self._shear and engine not in ("lanes", "pallas"):
             raise ValueError(
                 "shear models serve via the lanes engine (multi-output "
-                "block batch-on-lanes solver)"
+                "block batch-on-lanes solver) or the pallas engine "
+                "(fused VMEM block solve, r5)"
             )
         if self._shear and measurement_noise is not None:
             raise ValueError(
@@ -312,7 +316,14 @@ class FastServer:
         Returns from ``predict``: mean ``(B, 3)`` and covariance
         ``(B, 3, 3)``.  Observed inputs are 3-component (kappa, gamma1,
         gamma2) for :class:`ShearKernel` or 2-component (gamma1, gamma2)
-        for :class:`ShearKernel2in3out`."""
+        for :class:`ShearKernel2in3out`.
+
+        ``engine="pallas"`` (r5) swaps the XLA batch-on-lanes block
+        Cholesky for the fused VMEM kernel
+        (:func:`muygpys_tpu.pallas.multiout_solve.multiout_serve_pallas`)
+        — the (I*n, I*n) augmented elimination runs in one Pallas pass
+        per batch tile; block ASSEMBLY (the shear derivative polynomials)
+        stays in XLA where it fuses elementwise."""
         train = self._train
         targets = self._targets
         muygps = self.muygps
@@ -325,6 +336,27 @@ class FastServer:
                 f"train_targets has {targets.shape[1]}"
             )
 
+        if self.engine == "pallas":
+            from muygpys_tpu.pallas.multiout_solve import (
+                multiout_serve_pallas,
+            )
+
+            interp = jax.default_backend() == "cpu"
+
+            def solve(Kin, Kcross, nnt):
+                mean, cov = multiout_serve_pallas(
+                    muygps.noise.perturb(Kin), Kcross, kernel.Kout(),
+                    nnt, interpret=interp,
+                )
+                return mean, muygps.scale() * cov
+
+        else:
+
+            def solve(Kin, Kcross, nnt):
+                return muygps.posterior_mean_and_variance(
+                    Kin, Kcross, nnt
+                )
+
         def core(queries, nn_idx, train, targets):
             pw = deformation.pairwise_tensor(train, nn_idx)
             cw = deformation.crosswise_tensor(
@@ -333,7 +365,7 @@ class FastServer:
             Kin = kernel(pw)
             Kcross = kernel(cw)
             nnt = jnp.swapaxes(targets[nn_idx], -2, -1)  # (B, obs, n)
-            return muygps.posterior_mean_and_variance(Kin, Kcross, nnt)
+            return solve(Kin, Kcross, nnt)
 
         consts = (train, targets)
         if self.mesh is None:

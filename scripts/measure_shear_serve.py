@@ -1,9 +1,14 @@
-"""Measure shear-family serving throughput on the real chip.
+"""Measure shear-family serving throughput on the real chip — BOTH engines.
 
-FastServer(engine="lanes") with ShearKernel: difference-tensor assembly ->
-shear covariance blocks -> multi-output batch-on-lanes Cholesky -> posterior
-mean + full (3, 3) covariance.  Honest in-loop protocol (fori_loop with
-per-iteration query perturbation, 1-iter program subtracted).
+FastServer shear chain: difference-tensor assembly -> shear covariance
+blocks -> (3n, 3n) block Cholesky -> posterior mean + full (3, 3)
+covariance.  Three programs, honest in-loop protocol (fori_loop with
+per-iteration query perturbation, 1-iter program subtracted):
+
+- ``assembly``: tensors + covariance blocks only (no solve) — the
+  decomposition anchor: solve cost = full - assembly.
+- ``lanes``: XLA batch-on-lanes block solver (r4 engine).
+- ``pallas``: fused VMEM block solve (pallas/multiout_solve.py, r5).
 
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/measure_shear_serve.py
 """
@@ -34,6 +39,7 @@ def main():
     from muygpys_tpu.gp.kernels.experimental import ShearKernel
     from muygpys_tpu.gp.noise import ShearNoise33
     from muygpys_tpu.neighbors import NN_Wrapper
+    from muygpys_tpu.pallas.multiout_solve import multiout_serve_pallas
     from muygpys_tpu.performance.headline import enable_persistent_cache
 
     enable_persistent_cache(REPO_ROOT)
@@ -58,8 +64,9 @@ def main():
 
     deformation = model.kernel.deformation
     kernel = model.kernel
+    interp = jax.default_backend() == "cpu"
 
-    def core(queries, nn_idx):
+    def assemble(queries, nn_idx):
         pw = deformation.pairwise_tensor(train, nn_idx)
         cw = deformation.crosswise_tensor(
             queries, train, jnp.arange(queries.shape[0]), nn_idx
@@ -67,37 +74,71 @@ def main():
         Kin = kernel(pw)
         Kcross = kernel(cw)
         nnt = jnp.swapaxes(tg[nn_idx], -2, -1)
+        return Kin, Kcross, nnt
+
+    def core_assembly(queries, nn_idx):
+        Kin, Kcross, nnt = assemble(queries, nn_idx)
+        return jnp.sum(Kin) + jnp.sum(Kcross) + jnp.sum(nnt)
+
+    def core_lanes(queries, nn_idx):
+        Kin, Kcross, nnt = assemble(queries, nn_idx)
         mean, cov = model.posterior_mean_and_variance(Kin, Kcross, nnt)
         return jnp.sum(mean) + jnp.sum(cov)
 
-    def loop(iters):
-        @jax.jit
-        def run(q, nn_idx):
-            def body(i, acc):
-                return acc + core(q * (1.0 + 1e-9 * i), nn_idx)
+    def core_pallas(queries, nn_idx):
+        Kin, Kcross, nnt = assemble(queries, nn_idx)
+        mean, cov = multiout_serve_pallas(
+            model.noise.perturb(Kin), Kcross, kernel.Kout(), nnt,
+            interpret=interp,
+        )
+        cov = model.scale() * cov
+        return jnp.sum(mean) + jnp.sum(cov)
 
-            return lax.fori_loop(
-                0, iters, body, jnp.asarray(0.0, jnp.float32)
-            )
+    def measure(core):
+        def loop(iters):
+            @jax.jit
+            def run(q, nn_idx):
+                def body(i, acc):
+                    return acc + core(q * (1.0 + 1e-9 * i), nn_idx)
 
-        return run
+                return lax.fori_loop(
+                    0, iters, body, jnp.asarray(0.0, jnp.float32)
+                )
 
-    l1, lN = loop(1), loop(ITERS + 1)
-    float(np.asarray(l1(q, nn_idx)))
-    float(np.asarray(lN(q, nn_idx)))
-    b1 = bN = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
+            return run
+
+        l1, lN = loop(1), loop(ITERS + 1)
         float(np.asarray(l1(q, nn_idx)))
-        b1 = min(b1, time.perf_counter() - t0)
-        t0 = time.perf_counter()
         float(np.asarray(lN(q, nn_idx)))
-        bN = min(bN, time.perf_counter() - t0)
-    per = (bN - b1) / ITERS
+        b1 = bN = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(np.asarray(l1(q, nn_idx)))
+            b1 = min(b1, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(np.asarray(lN(q, nn_idx)))
+            bN = min(bN, time.perf_counter() - t0)
+        return (bN - b1) / ITERS
+
+    t_asm = measure(core_assembly)
+    t_lanes = measure(core_lanes)
+    t_pallas = measure(core_pallas)
     print(
-        f"shear serve (kernel+block-solve, {BUCKET} queries x {NN} nbrs, "
-        f"3 outputs): {per*1e3:.2f} ms/batch = {BUCKET/per:,.0f} preds/sec"
-        f"/chip ({3*BUCKET/per:,.0f} output components/sec)"
+        f"shear serve decomposition ({BUCKET} queries x {NN} nbrs, "
+        f"(3x{NN})^2 blocks, 3 outputs):"
+    )
+    print(
+        f"  assembly only        : {t_asm*1e3:7.2f} ms/batch"
+    )
+    for name, t in (("lanes", t_lanes), ("pallas", t_pallas)):
+        print(
+            f"  {name:21s}: {t*1e3:7.2f} ms/batch = "
+            f"{BUCKET/t:,.0f} preds/sec/chip "
+            f"(solve share {(t-t_asm)*1e3:.2f} ms)"
+        )
+    print(
+        f"  pallas vs lanes: {t_lanes/t_pallas:.2f}x end-to-end, "
+        f"{(t_lanes-t_asm)/max(t_pallas-t_asm,1e-9):.2f}x on the solve"
     )
 
 

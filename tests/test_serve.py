@@ -715,6 +715,41 @@ class TestShearServing:
         np.testing.assert_allclose(mean, np.asarray(m_ref), rtol=1e-8, atol=1e-10)
         np.testing.assert_allclose(cov, np.asarray(c_ref), rtol=1e-8, atol=1e-10)
 
+    def test_pallas_engine_matches_lanes(self, shear_problem):
+        """engine='pallas' (r5): the fused VMEM multi-output block solve
+        (pallas/multiout_solve.py) reproduces the lanes chain exactly —
+        posterior mean AND full (3,3) covariance (r4 VERDICT next #5)."""
+        model, pts, targets, xte = shear_problem
+        nbrs = NN_Wrapper(pts, 8, nn_method="exact")
+        server = FastServer(
+            model, nbrs, pts, targets, bucket=40, engine="pallas"
+        )
+        mean, cov = server.predict(xte)
+        m_ref, c_ref = self._direct_chain(model, pts, targets, xte, nbrs)
+        np.testing.assert_allclose(
+            mean, np.asarray(m_ref), rtol=1e-6, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            cov, np.asarray(c_ref), rtol=1e-6, atol=1e-9
+        )
+
+    def test_pallas_engine_mesh_sharded(self, shear_problem):
+        from muygpys_tpu.parallel import make_mesh
+
+        model, pts, targets, xte = shear_problem
+        nbrs = NN_Wrapper(pts, 8, nn_method="exact")
+        server = FastServer(
+            model, nbrs, pts, targets, bucket=40, engine="pallas",
+            mesh=make_mesh(),
+        )
+        mean, cov = server.predict(xte)
+        single = FastServer(
+            model, nbrs, pts, targets, bucket=40, engine="pallas"
+        )
+        m1, c1 = single.predict(xte)
+        np.testing.assert_allclose(mean, m1, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(cov, c1, rtol=1e-10, atol=1e-12)
+
     def test_validation(self, shear_problem):
         model, pts, targets, _ = shear_problem
         nbrs = NN_Wrapper(pts, 8, nn_method="exact")
