@@ -32,7 +32,15 @@ def problem(rng):
     return nf, q, y
 
 
+import functools
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=())
 def _oracle_f64(nf, q, y, ls, noise):
+    """Jitted (ls/noise are traced weak scalars, so ONE compiled oracle
+    serves every budget leg; the unrolled n=30 lanes solve was ~6 s of
+    eager dispatch per leg otherwise)."""
     nf64 = jnp.asarray(nf, jnp.float64) / ls
     q64 = jnp.asarray(q, jnp.float64) / ls
     y64 = jnp.asarray(y, jnp.float64)

@@ -295,13 +295,16 @@ def test_batched_layout_matches_lanes(problem2d, rng, loss_name):
             model, bt, bnt, cw, pw, loss=loss_name, layout="batched"
         )
         np.testing.assert_allclose(
-            float(batched(params)), float(lanes(params)), rtol=1e-9
+            float(jax.jit(batched)(params)),
+            float(jax.jit(lanes)(params)),
+            rtol=1e-9,
         )
-        # eager grads ON PURPOSE: the distinct per-case closures would
-        # each pay a full jit compile; the eager op-cache amortizes
-        # across the case sweep (measured eager 2-4x faster here)
-        g_l = jax.grad(lanes)(params)
-        g_b = jax.grad(batched)(params)
+        # jitted grads: each distinct closure pays one compile that the
+        # persistent .jax_cache_cpu then serves on every later run — 44 s
+        # of per-run eager dispatch becomes a ~2 s warm cache hit (the r4
+        # eager-is-faster measurement predated the persistent cache)
+        g_l = jax.jit(jax.grad(lanes))(params)
+        g_b = jax.jit(jax.grad(batched))(params)
         for k in params:
             np.testing.assert_allclose(
                 float(g_b[k]), float(g_l[k]), rtol=1e-6,

@@ -27,10 +27,16 @@ class TestBessel:
             [np.logspace(-6, 0.3, 25), np.linspace(1.9, 2.1, 7),
              np.linspace(2.2, 60, 30)]
         )
-        for v in vs:
-            got = np.array(kv(jnp.float64(v), jnp.asarray(xs)))
-            want = scipy.special.kv(v, xs)
-            np.testing.assert_allclose(got, want, rtol=1e-10)
+        # ONE jitted vmap over the (v, x) grid: 9 eager recurrence sweeps
+        # cost ~12 s of dispatch; the compile persists in .jax_cache_cpu
+        V, X = np.meshgrid(vs, xs, indexing="ij")
+        got = np.asarray(
+            jax.jit(jax.vmap(kv))(
+                jnp.asarray(V.ravel()), jnp.asarray(X.ravel())
+            )
+        ).reshape(V.shape)
+        want = scipy.special.kv(V, X)
+        np.testing.assert_allclose(got, want, rtol=1e-10)
 
     def test_kv_stress_near_integer_nu_and_large_x(self):
         """Adversarial regimes (r1 VERDICT weak #7): the Temme series has
@@ -45,10 +51,14 @@ class TestBessel:
             [np.logspace(-8, 0, 9), np.linspace(1.99, 2.01, 5),
              np.logspace(0.5, 2.47, 12)]  # up to x~295: kv ~ 1e-130
         )
-        for v in vs:
-            got = np.array(kv(jnp.float64(v), jnp.asarray(xs)))
-            want = scipy.special.kv(v, xs)
-            np.testing.assert_allclose(got, want, rtol=5e-9, err_msg=f"nu={v}")
+        V, X = np.meshgrid(vs, xs, indexing="ij")
+        got = np.asarray(
+            jax.jit(jax.vmap(kv))(
+                jnp.asarray(V.ravel()), jnp.asarray(X.ravel())
+            )
+        ).reshape(V.shape)
+        want = scipy.special.kv(V, X)
+        np.testing.assert_allclose(got, want, rtol=5e-9)
 
     def test_kv_nu_gradient_near_integers(self):
         """Exact d/dnu stays accurate approaching the integer-nu removable
@@ -72,12 +82,12 @@ class TestBessel:
 
     def test_kv_gradients(self):
         v0, x0 = 1.7, 3.0
-        gx = jax.grad(lambda x: kv(v0, x))(x0)
+        gx = jax.jit(jax.grad(lambda x: kv(v0, x)))(x0)
         fdx = (
             scipy.special.kv(v0, x0 + 1e-6) - scipy.special.kv(v0, x0 - 1e-6)
         ) / 2e-6
         assert abs(gx - fdx) < 1e-7
-        gv = jax.grad(lambda v: kv(v, x0))(v0)
+        gv = jax.jit(jax.grad(lambda v: kv(v, x0)))(v0)
         fdv = (
             scipy.special.kv(v0 + 1e-6, x0) - scipy.special.kv(v0 - 1e-6, x0)
         ) / 2e-6

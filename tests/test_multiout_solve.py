@@ -33,7 +33,14 @@ def _blocks(rng, B, I, n, O):
     return Kin, Kc, Kout, y
 
 
-@pytest.mark.parametrize("I,n,O,B", [(3, 10, 3, 16), (2, 7, 3, 24), (1, 12, 1, 32)])
+@pytest.mark.parametrize(
+    "I,n,O,B",
+    [
+        (3, 8, 3, 12),  # shear-33-shaped block (conformance is size-free)
+        pytest.param(2, 7, 3, 24, marks=pytest.mark.slow),
+        pytest.param(1, 12, 1, 32, marks=pytest.mark.slow),
+    ],
+)
 def test_matches_lanes_solver(rng, I, n, O, B):
     Kin, Kc, Kout, y = _blocks(rng, B, I, n, O)
     m1, c1 = multiout_serve_mean_and_variance(

@@ -306,6 +306,7 @@ def test_fused_engine_spatial_sort(rng, monkeypatch):
         )
 
 
+@pytest.mark.filterwarnings("ignore:FastServer bucket geometry")
 def test_mesh_sharded_serving(problem, monkeypatch):
     """FastServer(mesh=...): queries sharded over the 8-device virtual
     mesh, table replicated — posterior equals the single-device serve
@@ -357,6 +358,7 @@ def test_mesh_sharded_serving(problem, monkeypatch):
         )
 
 
+@pytest.mark.filterwarnings("ignore:FastServer bucket geometry")
 def test_mesh_train_sharded_serving(problem, rng, monkeypatch):
     """FastServer(mesh=..., shard="train"): training-table ROWS sharded,
     queries replicated, per-shard candidates all-gathered and exactly
@@ -656,7 +658,11 @@ class TestShearServing:
         Kin = model.kernel(pw)
         Kcross = model.kernel(cw)
         nnt = jnp.swapaxes(jnp.asarray(targets)[nn_idx], -2, -1)
-        return model.posterior_mean_and_variance(Kin, Kcross, nnt)
+        # jitted: the unrolled (3n, 3n) block elimination is hundreds of
+        # small eager dispatches otherwise (compile persists in cache)
+        import jax
+
+        return jax.jit(model.posterior_mean_and_variance)(Kin, Kcross, nnt)
 
     def test_matches_direct_chain(self, shear_problem):
         model, pts, targets, xte = shear_problem

@@ -6,6 +6,7 @@ derivatives of the RBF, and full MuyGPS posteriors against a dense
 conventional-GP solve with the same covariance.
 """
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -380,9 +381,13 @@ class TestLanesMultiout:
         Kcross = model.kernel(crosswise)
         nn_targets = jnp.asarray(targets[nn_indices].swapaxes(-2, -1))
 
-        mean_ref = np.asarray(model.posterior_mean(Kin, Kcross, nn_targets))
-        var_ref = np.asarray(model.posterior_variance(Kin, Kcross))
-        mean, var = model.posterior_mean_and_variance(
+        # jitted: the unrolled m=33 lanes elimination is hundreds of small
+        # eager dispatches otherwise; compiles persist in .jax_cache_cpu
+        mean_ref = np.asarray(
+            jax.jit(model.posterior_mean)(Kin, Kcross, nn_targets)
+        )
+        var_ref = np.asarray(jax.jit(model.posterior_variance)(Kin, Kcross))
+        mean, var = jax.jit(model.posterior_mean_and_variance)(
             Kin, Kcross, nn_targets
         )
         assert mean.shape == mean_ref.shape == (9, 3)
