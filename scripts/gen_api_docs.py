@@ -70,6 +70,7 @@ MODULES = [
     "muygpys_tpu.pallas.fused_train",
     "muygpys_tpu.pallas.knn",
     "muygpys_tpu.pallas.matern_nu",
+    "muygpys_tpu.pallas.multiout_solve",
     "muygpys_tpu.ops.tensors",
     "muygpys_tpu.ops.kernels",
     "muygpys_tpu.ops.bessel",
