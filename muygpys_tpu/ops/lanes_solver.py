@@ -149,6 +149,24 @@ def serve_mean_and_variance_multiout_bl(
     return mean, cov
 
 
+def multiout_frontend_bl(
+    Kin: jnp.ndarray, Kcross: jnp.ndarray, nn_targets: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Frontend block layout -> batch-last operands: ``Kin (B, I, n, I,
+    n)`` / ``Kcross (B, I, n, O)`` / ``nn_targets (B, I, n)`` become
+    ``(m, m, B)`` / ``(m, O, B)`` / ``(m, B)`` with ``m = I * n``.
+    Shared by the XLA and Pallas multi-output engines so their layout
+    contracts can never diverge."""
+    B, I, n = Kin.shape[0], Kin.shape[1], Kin.shape[2]
+    m = I * n
+    o = Kcross.shape[-1]
+    return (
+        jnp.transpose(Kin.reshape(B, m, m), (1, 2, 0)),
+        jnp.transpose(Kcross.reshape(B, m, o), (1, 2, 0)),
+        jnp.transpose(nn_targets.reshape(B, m), (1, 0)),
+    )
+
+
 def multiout_serve_mean_and_variance(
     Kin: jnp.ndarray,
     Kcross: jnp.ndarray,
@@ -167,12 +185,7 @@ def multiout_serve_mean_and_variance(
     the flattened ``I*n`` observation block on the sublane axis and the
     batch on the lane axis (the layout discovery in this module's header).
     """
-    B, I, n = Kin.shape[0], Kin.shape[1], Kin.shape[2]
-    m = I * n
-    o = Kcross.shape[-1]
-    Kin_bl = jnp.transpose(Kin.reshape(B, m, m), (1, 2, 0))
-    Kc_bl = jnp.transpose(Kcross.reshape(B, m, o), (1, 2, 0))
-    y_bl = jnp.transpose(nn_targets.reshape(B, m), (1, 0))
+    Kin_bl, Kc_bl, y_bl = multiout_frontend_bl(Kin, Kcross, nn_targets)
     mean, cov = serve_mean_and_variance_multiout_bl(
         Kin_bl, Kc_bl, Kout, y_bl
     )

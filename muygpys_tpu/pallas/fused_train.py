@@ -155,6 +155,24 @@ def _matvec_bl(G, x, n):
     return jnp.sum(G * x[:, None, :], axis=0)
 
 
+def train_tile_cap(batch_tile: int, gen: bool, d_feat: int) -> int:
+    """VMEM batch-tile cap for the train kernel (ONE policy for the
+    kernel API and the objective builder — r5 review).
+
+    Closed-form isotropic kernels run the caller's tile (default 256).
+    The gen surrogate's temporaries overflow the 16M scoped budget above
+    TB=128 (measured 17.34M at 256 on v5e).  Anisotropy adds ~3
+    per-feature ``(n, n, TB)`` fields (differences, w, G), so the cap
+    scales INVERSELY with ``d_feat`` instead of sitting at a constant
+    that d=8 would blow through: 128 at d<=2, halving per doubling."""
+    cap = batch_tile
+    if gen:
+        cap = min(cap, 128)
+    if d_feat:
+        cap = min(cap, max(8, (128 if gen else 256) // max(d_feat, 2)))
+    return cap
+
+
 def _train_body(
     smoothness, metric_power, noise_free, hetero, smoothness_free, d_feat,
     params_ref, pw_ref, cw_ref, y_ref, *rest,
@@ -377,13 +395,7 @@ def fused_train_stats_bl(
         )
     if gen and metric_power != 1:
         raise ValueError('smoothness="gen" requires the l2 metric')
-    # VMEM tile caps: the surrogate + d/dnu contraction fields overflow
-    # the 16M scoped budget above TB=128 (measured 17.34M at 256 on v5e);
-    # the anisotropic per-feature w/G fields add ~d x (n, n, TB) — cap at
-    # 128 and halve again when composed with the gen surrogate
-    cap = batch_tile
-    if gen or d_feat:
-        cap = 64 if (gen and d_feat) else 128
+    cap = train_tile_cap(batch_tile, gen, d_feat)
     if batch_tile > cap:
         batch_tile = cap
         while B % batch_tile:
@@ -719,14 +731,8 @@ def make_fused_train_objective(
         t = t[:, None]
     t_bl = jnp.transpose(t, (1, 0))
 
-    # VMEM tile caps (mirrors fused_train_stats_bl): the gen surrogate and
-    # the anisotropic per-feature fields overflow the 16M scoped budget at
-    # the default 256 tile
     gen = smoothness == "gen"
-    cap = batch_tile
-    if gen or d_feat:
-        cap = 64 if (gen and d_feat) else 128
-    tile = min(cap, B)
+    tile = min(train_tile_cap(batch_tile, gen, d_feat), B)
     while B % tile != 0:
         tile //= 2
     free_names = tuple(

@@ -479,8 +479,8 @@ def matern_nu_coeffs_host(nu: float, dtype=np.float32) -> np.ndarray:
 
     Serving builds its coefficients once from a plain-float trained ``nu``,
     so there is no reason to pay the traced builder's dtype (under x64-off
-    jax the traced path computes in f32, costing ~1e-4 near-integer
-    accuracy and a 3e-3 clamp).  This pure-numpy mirror of
+    jax the traced path computes in f32, costing ~1e-3-level near-integer
+    accuracy and the 1e-2 clamp).  This pure-numpy mirror of
     :func:`matern_nu_coeffs` runs in f64 with the 1e-7 clamp regardless of
     jax configuration, then casts.  Layout: value + dt sets (no nu-tangent
     sets — serving does not differentiate).

@@ -46,12 +46,27 @@ def _multiout_body(o, kin_ref, kc_ref, y_ref, mean_ref, s_ref, work):
     work[:, :m, :] = kin_ref[:]
     work[:, m:m + o, :] = kc_ref[:]
     work[:, m + o, :] = y_ref[:]
+    # Gill-Murray pivot floor, SAME contract as ops/lanes_solver.
+    # cholesky_bl: a numerically singular block (duplicate neighbors at
+    # f32) otherwise yields rsqrt(<=0) = inf/NaN and poisons the whole
+    # batch tile.  Relative floor (10 eps x mean diagonal per lane); where
+    # it activates, the sub-diagonal column is zeroed so the tiny pivot
+    # does not propagate into the trailing updates.
+    diag_scale = sum(work[j, j, :] for j in range(m)) / m  # (TB,)
+    floor = 10.0 * jnp.finfo(work.dtype).eps * jnp.maximum(
+        diag_scale, jnp.finfo(work.dtype).tiny
+    )
     for j in range(m):
-        inv = jax.lax.rsqrt(work[j, j, :])  # (TB,)
+        piv = work[j, j, :]  # (TB,)
+        bad = (piv < floor)[None, :]
+        d = jnp.sqrt(jnp.maximum(piv, floor))
+        inv = 1.0 / d
         rowj = work[j, j:, :] * inv[None, :]  # (m+o+1-j, TB)
         work[j, j:, :] = rowj
         if j < m - 1:
-            lcol = work[j + 1:, j, :] * inv[None, :]
+            lcol = jnp.where(
+                bad, 0.0, work[j + 1:, j, :] * inv[None, :]
+            )
             work[j + 1:, j:, :] = (
                 work[j + 1:, j:, :] - lcol[:, None, :] * rowj[None, :, :]
             )
@@ -153,12 +168,9 @@ def multiout_serve_pallas(
     applied), ``Kcross (B, I, n, O)``, ``nn_targets (B, I, n)``,
     ``Kout (O, O)``; returns mean ``(B, O)``, cov ``(B, O, O)``.
     """
-    B, I, n = Kin.shape[0], Kin.shape[1], Kin.shape[2]
-    m = I * n
-    o = Kcross.shape[-1]
-    Kin_bl = jnp.transpose(Kin.reshape(B, m, m), (1, 2, 0))
-    Kc_bl = jnp.transpose(Kcross.reshape(B, m, o), (1, 2, 0))
-    y_bl = jnp.transpose(nn_targets.reshape(B, m), (1, 0))
+    from muygpys_tpu.ops.lanes_solver import multiout_frontend_bl
+
+    Kin_bl, Kc_bl, y_bl = multiout_frontend_bl(Kin, Kcross, nn_targets)
     mean, cov = fused_multiout_solve_bl(
         Kin_bl, Kc_bl, Kout, y_bl, interpret=interpret
     )

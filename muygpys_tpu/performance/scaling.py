@@ -256,10 +256,12 @@ def measure_scaling(
             "collective_bytes_per_step": comm,
         }
         if base is None:
-            base = throughput
+            base = (throughput, n)
             rec["efficiency"] = 1.0
         else:
-            rec["efficiency"] = throughput / (base * n)
+            # normalize by the FIRST measured count (the CLI allows
+            # sweeps like '2 4 8' that don't start at 1 device)
+            rec["efficiency"] = throughput / (base[0] * n / base[1])
         records.append(rec)
     return records
 
@@ -344,10 +346,10 @@ def measure_serve_scaling(
             "collective_bytes_per_step": comm,
         }
         if base is None:
-            base = throughput
+            base = (throughput, n)
             rec["efficiency"] = 1.0
         else:
-            rec["efficiency"] = throughput / (base * n)
+            rec["efficiency"] = throughput / (base[0] * n / base[1])
         records.append(rec)
     return records
 

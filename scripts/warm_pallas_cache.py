@@ -79,6 +79,15 @@ def main():
         f"{time.perf_counter() - t0:.1f}s", flush=True,
     )
     t0 = time.perf_counter()
+    h.compile_loops(
+        functools.partial(h.shear_serve_loop, engine="pallas"),
+        h.make_shear_inputs(),
+    )
+    print(
+        f"shear multiout solve loop programs compiled in "
+        f"{time.perf_counter() - t0:.1f}s", flush=True,
+    )
+    t0 = time.perf_counter()
     h.compile_loops(h.pallas_loop, h.make_inputs())
     print(f"pallas loop programs compiled in {time.perf_counter() - t0:.1f}s")
 

@@ -75,3 +75,32 @@ def test_tile_cap_vmem_budget():
         resident = 8 * m * m * tb  # input block + scratch, f32
         assert resident <= 13 * 1024 * 1024, (m, tb, resident)
         assert tb >= 16, (m, tb)  # still a useful lane tile at shear sizes
+
+
+def test_singular_block_stays_finite(rng):
+    """Gill-Murray pivot floor (same contract as lanes cholesky_bl, r5
+    review): a block with DUPLICATE neighbors is numerically singular —
+    the fused solve must return finite posteriors on the whole batch
+    tile, matching the lanes engine's surrogate-factor behavior."""
+    Kin, Kc, Kout, y = _blocks(rng, 8, 3, 8, 3)
+    # make block 3 singular: duplicate two observation rows exactly
+    Kin = np.asarray(Kin)
+    flat = Kin.reshape(8, 24, 24)
+    flat[3, 5, :] = flat[3, 4, :]
+    flat[3, :, 5] = flat[3, :, 4]
+    Kin = flat.reshape(8, 3, 8, 3, 8)
+    m1, c1 = multiout_serve_mean_and_variance(
+        jnp.asarray(Kin), jnp.asarray(Kc), jnp.asarray(Kout), jnp.asarray(y)
+    )
+    m2, c2 = multiout_serve_pallas(
+        jnp.asarray(Kin), jnp.asarray(Kc), jnp.asarray(Kout),
+        jnp.asarray(y), interpret=True,
+    )
+    assert np.all(np.isfinite(np.asarray(m2))) and np.all(
+        np.isfinite(np.asarray(c2))
+    )
+    # the NON-singular lanes of the tile must still agree exactly
+    ok = [b for b in range(8) if b != 3]
+    np.testing.assert_allclose(
+        np.asarray(m1)[ok], np.asarray(m2)[ok], rtol=1e-9, atol=1e-11
+    )
