@@ -219,11 +219,12 @@ def make_device_trainer(
     x homo/heteroscedastic noise x hierarchical (nonstationary) length
     scales (pass ``batch_features`` per epoch — the knot-value field
     trains on device, r3 VERDICT weak #6), loss in {lool, mse, looph,
-    huber/pseudo_huber};
-    model classes OUTSIDE the fast objective (the shear family,
-    NullDeformation, exotic losses) fall back to the GENERIC composed
-    objective inside the SAME compile-once trainer — every supported
-    model class epoch-trains at device speed (r4).
+    huber/pseudo_huber}.  SHEAR models route to the shared-factorization
+    shear assembly (:mod:`muygpys_tpu.optimize.shear_objective` — one
+    flattened block Cholesky per evaluation, r5); model classes outside
+    both fast assemblies (NullDeformation, exotic losses) fall back to
+    the GENERIC composed objective inside the SAME compile-once trainer
+    — every supported model class epoch-trains at device speed (r4).
     """
     from muygpys_tpu.optimize.fast_objective import make_fast_loo_objective
     from muygpys_tpu.optimize.loss import LossFn
@@ -249,9 +250,18 @@ def make_device_trainer(
         if loss_obj is not None and not isinstance(loss_obj, LossFn):
             loss_obj = None
     from muygpys_tpu.optimize.fast_objective import fast_objective_supports
+    from muygpys_tpu.optimize.shear_objective import (
+        make_shear_loo_objective,
+        shear_objective_supports,
+    )
 
     use_fast = fast_objective_supports(muygps, loss)
-    if not use_fast and loss_obj is None:
+    # shear models train through the shared-factorization shear assembly
+    # (ONE flattened block Cholesky per evaluation vs the generic
+    # composed objective's two/three — r5; r4 trained shear through the
+    # generic fallback)
+    use_shear = (not use_fast) and shear_objective_supports(muygps, loss)
+    if not (use_fast or use_shear) and loss_obj is None:
         raise ValueError(
             f"loss {loss!r} has no generic LossFn for the fallback"
         )
@@ -262,6 +272,10 @@ def make_device_trainer(
             obj_fn, _ = make_fast_loo_objective(
                 muygps, bt, bnt, cw, pw, loss=loss, layout="batched",
                 batch_features=bf,
+            )
+        elif use_shear:
+            obj_fn, _ = make_shear_loo_objective(
+                muygps, bt, bnt, cw, pw, loss=loss, layout="batched",
             )
         else:
             # generic composed objective (single-HLO solves — while_loop

@@ -60,6 +60,7 @@ MODULES = [
     "muygpys_tpu.optimize.fused_chassis",
     "muygpys_tpu.optimize.device_chassis",
     "muygpys_tpu.optimize.fast_objective",
+    "muygpys_tpu.optimize.shear_objective",
     "muygpys_tpu.optimize.bayes",
     "muygpys_tpu.optimize.bijectors",
     "muygpys_tpu.optimize.experimental.chassis",
