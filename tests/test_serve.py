@@ -511,7 +511,16 @@ def test_anisotropy_engines(problem, engine, monkeypatch):
     np.testing.assert_allclose(var, var_ref, rtol=1e-6, atol=1e-9)
 
 
-@pytest.mark.parametrize("engine", ["lanes", "pallas"])
+@pytest.mark.parametrize(
+    "engine",
+    [
+        "lanes",
+        "pallas",
+        # the fused engine at this train size uses exact brute-force
+        # candidates + the same coords solve kernel
+        pytest.param("fused", marks=pytest.mark.slow),
+    ],
+)
 @pytest.mark.parametrize("nu", [0.9, 3.3])
 def test_anisotropy_general_smoothness(problem, engine, nu, monkeypatch):
     """Anisotropy x GENERAL smoothness through the serving fast paths:
@@ -521,7 +530,7 @@ def test_anisotropy_general_smoothness(problem, engine, nu, monkeypatch):
     from muygpys_tpu.gp.deformation import Anisotropy
     from muygpys_tpu.gp.hyperparameter import VectorParameter
 
-    if engine == "pallas":
+    if engine in ("pallas", "fused"):
         _interp_coords(monkeypatch)
     xtr, ytr, xte = problem
     scale = FixedScale()
