@@ -368,7 +368,23 @@ def Fused_Device_LBFGS_optimize(
     to_theta, to_z = bijectors.make_param_bijector(x0_names, bounds)
 
     theta_value = None
-    if engine == "pallas":
+    from muygpys_tpu.optimize.shear_objective import (
+        make_shear_loo_objective,
+        shear_objective_supports,
+    )
+
+    if shear_objective_supports(muygps, loss):
+        # shear family: shared-factorization assembly, batched layout
+        # (while_loop-safe single-HLO Cholesky; PERF.md r5)
+        obj_fn_shear, _ = make_shear_loo_objective(
+            muygps, batch_targets, batch_nn_targets,
+            crosswise_dists, pairwise_dists, loss=loss, layout="batched",
+        )
+
+        def theta_value(theta_dict):
+            return obj_fn_shear(theta_dict)
+
+    if theta_value is None and engine == "pallas":
         from muygpys_tpu.pallas.fused_train import (
             make_fused_train_objective,
         )

@@ -58,7 +58,21 @@ def Fused_L_BFGS_B_optimize(
     x0_names, x0, bounds = _get_opt_lists(muygps, verbose=verbose)
 
     vag = None
-    if engine == "pallas":
+    from muygpys_tpu.optimize.shear_objective import (
+        make_shear_loo_objective,
+        shear_objective_supports,
+    )
+
+    if shear_objective_supports(muygps, loss):
+        # shear family: the shared-factorization assembly in the BATCHED
+        # layout (the lanes layout's reverse-mode transposes 6.6x slower
+        # and overflows VMEM at production batches — PERF.md r5)
+        obj_fn, _ = make_shear_loo_objective(
+            muygps, batch_targets, batch_nn_targets,
+            crosswise_dists, pairwise_dists, loss=loss, layout="batched",
+        )
+        vag = jax.jit(jax.value_and_grad(obj_fn))
+    if vag is None and engine == "pallas":
         from muygpys_tpu.pallas.fused_train import make_fused_train_objective
 
         try:

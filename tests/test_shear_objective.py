@@ -143,3 +143,27 @@ def test_device_trainer_routes_shear(shear_problem):
         float(ref.kernel.deformation.length_scale()),
         rtol=5e-3,
     )
+
+
+def test_fused_chassis_routes_shear(shear_problem):
+    """The fused chassis entry points accept shear models (r5): they route
+    to the shared-factorization shear assembly instead of crashing in the
+    Matern-only builders, and land at the generic chassis' optimum."""
+    from muygpys_tpu.optimize import Fused_L_BFGS_B_optimize
+    from muygpys_tpu.optimize.device_chassis import (
+        Fused_Device_LBFGS_optimize,
+    )
+
+    pts, targets, bi, bni = shear_problem
+    model = _model("33")
+    bt, bnt, cw, pw = _tensors(model, pts, targets, bi, bni, "33")
+    ref = L_BFGS_B_optimize(model, bt, bnt, cw, pw, loss_fn=mse_fn)
+    ls_ref = float(ref.kernel.deformation.length_scale())
+    host = Fused_L_BFGS_B_optimize(model, bt, bnt, cw, pw, loss="mse")
+    np.testing.assert_allclose(
+        float(host.kernel.deformation.length_scale()), ls_ref, rtol=5e-3
+    )
+    dev = Fused_Device_LBFGS_optimize(model, bt, bnt, cw, pw, loss="mse")
+    np.testing.assert_allclose(
+        float(dev.kernel.deformation.length_scale()), ls_ref, rtol=5e-3
+    )
