@@ -279,7 +279,9 @@ def make_device_trainer(
             )
         else:
             # generic composed objective (single-HLO solves — while_loop
-            # safe); covers the shear family and any other functor combo
+            # safe); reached by model/loss combos outside both fast
+            # assemblies (NullDeformation, exotic losses, shear x
+            # non-fixed-scale lool)
             obj_raw = L_BFGS_B_optimize.make_obj_fn(
                 muygps, bt, bnt, cw, pw, batch_features=bf,
                 loss_fn=loss_obj,

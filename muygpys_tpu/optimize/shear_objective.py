@@ -43,11 +43,25 @@ from muygpys_tpu.gp.kernels.experimental import (
 
 def shear_objective_supports(muygps, loss: str = "mse") -> bool:
     """True iff :func:`make_shear_loo_objective` covers this model —
-    the device trainer uses this to pick the shared-factorization shear
-    assembly over the generic composed objective."""
-    return isinstance(
-        muygps.kernel, (ShearKernel, ShearKernel2in3out)
-    ) and loss in ("mse", "lool")
+    the chassis use this to pick the shared-factorization shear assembly
+    over the generic composed objective.
+
+    ``loss="lool"`` additionally requires a FIXED scale: the assembly
+    bakes the model's stored scale into the covariance, whereas the
+    generic objective re-estimates an :class:`AnalyticScale` at every
+    evaluation (``make_var_predict_and_loss_fn`` calls ``scale_fn`` per
+    proposal) — routing an AnalyticScale model here would silently train
+    a different objective (r5 review finding).  ``"mse"`` is mean-only
+    and scale-free, so any scale functor is fine."""
+    if not isinstance(muygps.kernel, (ShearKernel, ShearKernel2in3out)):
+        return False
+    if loss == "mse":
+        return True
+    if loss != "lool":
+        return False
+    from muygpys_tpu.gp.hyperparameter import FixedScale
+
+    return isinstance(muygps.scale, FixedScale)
 
 
 def make_shear_loo_objective(
@@ -99,8 +113,7 @@ def make_shear_loo_objective(
 
     if layout == "lanes":
         from muygpys_tpu.ops.lanes_solver import (
-            multiout_frontend_bl,
-            serve_mean_and_variance_multiout_bl,
+            multiout_serve_mean_and_variance,
         )
 
     def obj_fn(params):
@@ -110,12 +123,11 @@ def make_shear_loo_objective(
         Kcross = kernel(cw, length_scale=ls)  # (B, I, nn, O)
         Kp = muygps.noise.perturb(Kin, noise=noise)
         if layout == "lanes":
-            Kin_bl, Kc_bl, y_bl = multiout_frontend_bl(Kp, Kcross, bnt)
-            mean_bl, cov_bl = serve_mean_and_variance_multiout_bl(
-                Kin_bl, Kc_bl, Kout, y_bl
+            # the lanes engine's own frontend (shared layout shim —
+            # never duplicate it, r5 review)
+            mean, cov = multiout_serve_mean_and_variance(
+                Kp, Kcross, Kout, bnt
             )
-            mean = jnp.transpose(mean_bl, (1, 0))  # (B, O)
-            cov = jnp.transpose(cov_bl, (2, 0, 1))  # (B, O, O)
         else:
             Kf = Kp.reshape(B, m, m)
             Kc = Kcross.reshape(B, m, o)

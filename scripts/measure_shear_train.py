@@ -74,8 +74,6 @@ def main():
     pw = jnp.asarray(pw)
     cw = jnp.asarray(cw)
 
-    params = {"length_scale": 0.06, "noise": 2e-4}
-
     generic = L_BFGS_B_optimize.make_obj_fn(
         model, bt, bnt, cw, pw, loss_fn=mse_fn
     )

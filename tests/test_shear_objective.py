@@ -118,6 +118,25 @@ def test_supports_and_rejects(shear_problem):
     assert shear_objective_supports(model, "mse")
     assert shear_objective_supports(model, "lool")
     assert not shear_objective_supports(model, "looph")
+    # AnalyticScale x lool must stay on the GENERIC objective: the
+    # assembly bakes the stored scale, the generic path re-estimates the
+    # analytic scale per evaluation — different objectives (r5 review;
+    # verified value gap -1479 vs -413 at identical params).  mse is
+    # scale-free, so it remains supported.
+    from muygpys_tpu.gp.hyperparameter import AnalyticScale
+    from muygpys_tpu.gp.deformation import DifferenceIsotropy, F2 as _F2
+
+    analytic = MuyGPS(
+        kernel=ShearKernel(
+            deformation=DifferenceIsotropy(
+                _F2, length_scale=Parameter(0.15, (0.02, 0.5))
+            )
+        ),
+        noise=ShearNoise33(1e-4),
+        scale=AnalyticScale(),
+    )
+    assert not shear_objective_supports(analytic, "lool")
+    assert shear_objective_supports(analytic, "mse")
     bt, bnt, cw, pw = _tensors(model, pts, targets, bi, bni, "33")
     with pytest.raises(ValueError, match="shear objective"):
         make_shear_loo_objective(model, bt, bnt, cw, pw, loss="looph")
