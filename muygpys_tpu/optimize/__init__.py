@@ -26,6 +26,7 @@ from muygpys_tpu.optimize.device_chassis import (
     make_device_trainer,
 )
 from muygpys_tpu.optimize.fast_objective import make_fast_loo_objective
+from muygpys_tpu.optimize.shear_objective import make_shear_loo_objective
 from muygpys_tpu.optimize.fused_chassis import Fused_L_BFGS_B_optimize
 from muygpys_tpu.optimize.objective import make_loo_crossval_fn
 
@@ -47,6 +48,7 @@ __all__ = [
     "lool_fn_unscaled",
     "looph_fn",
     "make_fast_loo_objective",
+    "make_shear_loo_objective",
     "make_loo_crossval_fn",
     "mse_fn",
     "pseudo_huber_fn",
