@@ -442,3 +442,21 @@ def test_fused_chassis_recovers_anisotropy(rng):
             float(ref.kernel.deformation.length_scale[i]()),
             rtol=5e-3,
         )
+
+
+def test_train_tile_cap_policy():
+    """The VMEM tile-cap policy is ONE function shared by the kernel API
+    and the objective builder (r5 review); pin its values so a retune
+    cannot silently diverge from the measured budgets."""
+    from muygpys_tpu.pallas.fused_train import train_tile_cap
+
+    assert train_tile_cap(256, gen=False, d_feat=0) == 256  # closed-form
+    assert train_tile_cap(512, gen=False, d_feat=0) == 512  # caller's tile
+    assert train_tile_cap(256, gen=True, d_feat=0) == 128  # 17.34M at 256
+    assert train_tile_cap(256, gen=False, d_feat=2) == 128
+    assert train_tile_cap(256, gen=False, d_feat=4) == 64
+    assert train_tile_cap(256, gen=False, d_feat=8) == 32
+    assert train_tile_cap(256, gen=True, d_feat=2) == 64
+    assert train_tile_cap(256, gen=True, d_feat=8) == 16
+    # never collapses below a useful lane tile
+    assert train_tile_cap(256, gen=True, d_feat=64) >= 8
